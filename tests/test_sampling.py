@@ -1,0 +1,232 @@
+"""Tests for CAPS sampling + patch extraction (SURVEY.md §4 plan: property
+tests for cell allocation, uv ranges, scale budgets)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vtamiq_tpu.ops import (
+    PatchSampler, GRID_TYPE_PERTURBED, GRID_TYPE_PERTURBED_SIMPLE,
+    DIFF_TYPE_MAGNITUDE, DIFF_TYPE_DARK,
+    compute_patch_num_scales, compute_num_patches_per_scale,
+    compute_diff_map, halton_2d, get_iqa_patches, gather_patches, avgpool2x,
+)
+from vtamiq_tpu.ops.sampling import (
+    _largest_remainder_alloc, sample_positions_uniform, sample_positions_weighted,
+    gaussian_centerbias_logdensity, centerbias_prob,
+)
+
+
+class TestBudgets:
+    def test_single_scale(self):
+        assert compute_patch_num_scales(1, 384, 512, 16) == 1
+
+    def test_scale_cap_small_image(self):
+        # tiny image cannot support 5 scales
+        s = compute_patch_num_scales(5, 64, 64, 16)
+        assert 1 <= s < 5
+
+    def test_scale_cap_large_image(self):
+        assert compute_patch_num_scales(3, 1024, 1024, 16) == 3
+
+    def test_num_patches_exact_total(self):
+        for count in (16, 384, 500, 501, 1024):
+            for scales in (1, 2, 3, 5):
+                if count < scales:
+                    continue
+                n = compute_num_patches_per_scale(count, scales, 1.75)
+                assert n.sum() == count, (count, scales, n)
+                assert (n >= 0).all()
+
+    def test_ratio2_doubles_16_4_1(self):
+        # README's idealized 16:4:1 pixel budget corresponds to ratio 2.0
+        n = compute_num_patches_per_scale(21, 3, 2.0)
+        assert n.sum() == 21
+        assert n[0] <= n[1] <= n[2]
+
+
+class TestHalton:
+    def test_range_and_uniqueness(self):
+        pts = np.asarray(halton_2d(jnp.arange(64)))
+        assert pts.shape == (2, 64)
+        assert (0.0 <= pts).all() and (pts < 1.0).all()
+        # base-2 radical inverse of 0..63 are all distinct
+        assert len(np.unique(pts[0])) == 64
+
+    def test_known_values(self):
+        pts = np.asarray(halton_2d(jnp.array([1, 2, 3])))
+        np.testing.assert_allclose(pts[0], [0.5, 0.25, 0.75], atol=1e-6)
+        np.testing.assert_allclose(pts[1], [1 / 3, 2 / 3, 1 / 9], atol=1e-6)
+
+
+class TestAllocation:
+    def test_exact_total(self, rng):
+        p = rng.uniform(0.0, 1.0, 37)
+        p /= p.sum()
+        counts = np.asarray(_largest_remainder_alloc(jnp.asarray(p), 500))
+        assert counts.sum() == 500
+        assert (counts >= 0).all()
+
+    def test_proportionality(self):
+        p = jnp.array([0.5, 0.3, 0.2])
+        counts = np.asarray(_largest_remainder_alloc(p, 100))
+        np.testing.assert_array_equal(counts, [50, 30, 20])
+
+    def test_uniform_probs(self):
+        p = jnp.full((16,), 1.0 / 16.0)
+        counts = np.asarray(_largest_remainder_alloc(p, 100))
+        assert counts.sum() == 100
+        assert counts.max() - counts.min() <= 1
+
+
+class TestPositionSampling:
+    def test_uniform_positions_in_bounds(self):
+        key = jax.random.PRNGKey(0)
+        h, w, p, n = 384, 512, 16, 500
+        pos = np.asarray(sample_positions_uniform(key, h, w, p, n))
+        assert pos.shape == (2, n)
+        assert (0.0 <= pos[0]).all() and (pos[0] <= h - p).all()
+        assert (0.0 <= pos[1]).all() and (pos[1] <= w - p).all()
+
+    def test_uniform_positions_cover_image(self):
+        # stratified grid should spread samples across all four quadrants
+        key = jax.random.PRNGKey(1)
+        h, w, p, n = 256, 256, 16, 256
+        pos = np.asarray(sample_positions_uniform(key, h, w, p, n))
+        for qi in (0, 1):
+            for qj in (0, 1):
+                in_q = ((pos[0] >= qi * h / 2 - p) & (pos[0] < (qi + 1) * h / 2) &
+                        (pos[1] >= qj * w / 2 - p) & (pos[1] < (qj + 1) * w / 2))
+                assert in_q.sum() > n / 16, (qi, qj, in_q.sum())
+
+    def test_weighted_positions_follow_prob(self):
+        key = jax.random.PRNGKey(2)
+        h, w, p, n = 256, 256, 16, 512
+        prob = jnp.zeros((h, w)).at[:, : w // 2].set(1.0)
+        prob = prob / jnp.sum(prob)
+        pos = np.asarray(sample_positions_weighted(key, prob, h, w, p, n))
+        frac_left = np.mean(pos[1] < w / 2)
+        assert frac_left > 0.8, frac_left
+
+    def test_weighted_positions_in_bounds(self):
+        key = jax.random.PRNGKey(3)
+        h, w, p, n = 384, 512, 16, 300
+        prob = jnp.full((h, w), 1.0 / (h * w))
+        pos = np.asarray(sample_positions_weighted(key, prob, h, w, p, n))
+        assert pos.shape == (2, n)
+        assert (0.0 <= pos[0]).all() and (pos[0] <= h - p).all()
+        assert (0.0 <= pos[1]).all() and (pos[1] <= w - p).all()
+
+
+class TestDiffAndCenterbias:
+    def test_diff_magnitude(self):
+        ref = jnp.zeros((1, 8, 8, 3)).at[0, :4].set(1.0)
+        dist = jnp.zeros((1, 8, 8, 3))
+        imgs = jnp.concatenate([ref, dist], axis=0)
+        diff = np.asarray(compute_diff_map(imgs, DIFF_TYPE_MAGNITUDE))
+        assert diff.shape == (8, 8)
+        assert (diff[:4] > 0).all() and (diff[4:] == 0).all()
+
+    def test_diff_dark(self):
+        img = jnp.zeros((1, 8, 8, 3)).at[0, :4].set(1.0)
+        diff = np.asarray(compute_diff_map(img, DIFF_TYPE_DARK))
+        # dark regions get the highest weight
+        assert diff[4:].mean() > diff[:4].mean()
+
+    def test_centerbias_peaks_at_center(self):
+        cb = np.asarray(centerbias_prob(
+            jnp.asarray(gaussian_centerbias_logdensity(128)), 64, 96))
+        assert abs(cb.sum() - 1.0) < 1e-5
+        assert cb[32, 48] > cb[0, 0]
+
+
+class TestSamplerConfig:
+    def test_perturbed_simple_forces_uniform(self):
+        s = PatchSampler(centerbias_weight=1.0, diff_weight=1.0, uniform_weight=0.1,
+                         grid_type=GRID_TYPE_PERTURBED_SIMPLE)
+        assert s.centerbias_weight == 0.0 and s.diff_weight == 0.0
+        assert s.is_uniform
+
+    def test_zero_weight_raises(self):
+        with pytest.raises(ValueError):
+            PatchSampler(uniform_weight=0.0)
+
+    def test_diff_required(self):
+        s = PatchSampler(diff_weight=1.0, uniform_weight=0.1,
+                         grid_type=GRID_TYPE_PERTURBED)
+        with pytest.raises(ValueError):
+            s.sample_prob(32, 32, None)
+
+
+class TestGatherExtraction:
+    def test_gather_exact_blocks(self):
+        h, w, p = 32, 48, 4
+        img = jnp.arange(h * w * 3, dtype=jnp.float32).reshape(h, w, 3)
+        topleft = jnp.array([[0.0, 10.0], [0.0, 20.0]])  # two patches
+        out = np.asarray(gather_patches(img, topleft, p))
+        np.testing.assert_array_equal(out[0], np.asarray(img[:p, :p]))
+        np.testing.assert_array_equal(out[1], np.asarray(img[10:14, 20:24]))
+
+    def test_gather_clamps(self):
+        img = jnp.ones((16, 16, 3))
+        out = gather_patches(img, jnp.array([[100.0], [100.0]]), 4)
+        assert out.shape == (1, 4, 4, 3)
+
+    def test_avgpool2x(self):
+        img = jnp.arange(16, dtype=jnp.float32).reshape(1, 4, 4, 1)
+        out = np.asarray(avgpool2x(img))
+        np.testing.assert_allclose(out[0, 0, 0, 0], (0 + 1 + 4 + 5) / 4)
+        assert out.shape == (1, 2, 2, 1)
+
+    def test_get_iqa_patches_single_scale(self):
+        key = jax.random.PRNGKey(0)
+        imgs = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 96, 128, 3)), jnp.float32)
+        sampler = PatchSampler()
+        patches, pos, scales = get_iqa_patches(
+            imgs, imgs * 2 - 1, key, patch_count=64, patch_dim=16,
+            patch_sampler=sampler, patch_num_scales=1)
+        assert patches.shape == (2, 64, 16, 16, 3)
+        assert pos.shape == (2, 64, 2)
+        assert scales is None
+        pos = np.asarray(pos)
+        assert (0.0 <= pos).all() and (pos < 1.0).all()
+        # aligned patches: ref and dist share positions
+        np.testing.assert_allclose(pos[0], pos[1])
+
+    def test_get_iqa_patches_multiscale(self):
+        key = jax.random.PRNGKey(1)
+        imgs = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (2, 256, 256, 3)), jnp.float32)
+        sampler = PatchSampler()
+        patches, pos, scales = get_iqa_patches(
+            imgs, imgs, key, patch_count=84, patch_dim=16,
+            patch_sampler=sampler, patch_num_scales=3,
+            scale_num_samples_ratio=2.0)
+        assert patches.shape == (2, 84, 16, 16, 3)
+        assert scales is not None and scales.shape == (2, 84)
+        s = np.asarray(scales[0])
+        # counts follow the 16:4:1-style budget, coarse scale first
+        n = compute_num_patches_per_scale(84, 3, 2.0)
+        for scale_idx in range(3):
+            assert (s == scale_idx).sum() == n[-scale_idx - 1]
+
+    def test_get_iqa_patches_unaligned(self):
+        key = jax.random.PRNGKey(2)
+        imgs = jnp.asarray(np.random.default_rng(2).uniform(0, 1, (2, 96, 96, 3)), jnp.float32)
+        patches, pos, _ = get_iqa_patches(
+            imgs, imgs, key, patch_count=32, patch_dim=16,
+            patch_sampler=PatchSampler(), patch_num_scales=1,
+            use_aligned_patches=False)
+        assert not np.allclose(np.asarray(pos[0]), np.asarray(pos[1]))
+
+    def test_get_iqa_patches_jit(self):
+        sampler = PatchSampler()
+
+        def fn(imgs, key):
+            return get_iqa_patches(imgs, imgs, key, 32, 16, sampler, 1)
+
+        jfn = jax.jit(fn)
+        imgs = jnp.ones((2, 64, 64, 3))
+        p1, _, _ = jfn(imgs, jax.random.PRNGKey(0))
+        p2, _, _ = jfn(imgs, jax.random.PRNGKey(0))
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))

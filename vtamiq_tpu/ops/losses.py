@@ -1,0 +1,103 @@
+"""Training losses, as jittable JAX functions.
+
+Capability parity with the reference's loss suite (train.py:325-395), with the
+key TPU redesign: the reference's pairwise rank loss iterates a Python loop
+over all C(B,2) index pairs of GPU scalars (train.py:366-371 — a CPU-sync hot
+spot); here it is a single masked (B,B) matrix expression that XLA fuses into
+a handful of VPU ops.
+
+Behavioral notes preserved from the reference (SURVEY.md §7 "parity traps"):
+- ``loss_func_iqa`` optimizes ``rank + pears`` only; MAE is computed for
+  logging but NOT added to the optimized total, and the w_* loss weights are
+  threaded but ignored (train.py:387-395). A ``weighted=True`` switch exposes
+  the documented-but-dead weighted combination for users who want it.
+- pairwise-preference training optimizes MAE only (train.py:526-528).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+RANK_LOSS_EPS = 1e-6
+PEARS_LOSS_EPS = 1e-6
+
+
+def mae_loss(d, y):
+    return jnp.mean(jnp.abs(d - y))
+
+
+def mse_loss(d, y):
+    return jnp.mean((d - y) ** 2)
+
+
+def pears_loss(d, y, eps: float = PEARS_LOSS_EPS):
+    """1 - clamp(pearson(d, y), 0, 1) (reference: train.py:344-354)."""
+    dm = d - jnp.mean(d)
+    ym = y - jnp.mean(y)
+    norm_d = jnp.linalg.norm(dm) + eps
+    norm_y = jnp.linalg.norm(ym) + eps
+    r = jnp.dot(dm / norm_d, ym / norm_y)
+    return 1.0 - jnp.clip(r, 0.0, 1.0)
+
+
+def rank_loss(d, y, eps: float = RANK_LOSS_EPS, norm_num: bool = True):
+    """Pairwise hinge rank loss over all C(B,2) pairs, fully vectorized.
+
+    Per pair (i, j):
+        rl = max(0, -(y_i - y_j) * (d_i - d_j) / (|y_i - y_j| + eps))
+        contribution = rl / max(|d_i|, |d_j|)
+    Mean over pairs (reference semantics, train.py:357-376).
+    """
+    d = jnp.asarray(d)
+    y = jnp.asarray(y)
+    n = d.shape[0]
+    if n < 2:
+        return jnp.zeros((), dtype=d.dtype)
+
+    dd = d[:, None] - d[None, :]                    # (B, B) d_i - d_j
+    dy = y[:, None] - y[None, :]                    # (B, B) y_i - y_j
+    rl = jnp.maximum(0.0, -dy * dd / (jnp.abs(dy) + eps))
+    dp = jnp.abs(d)
+    denom = jnp.maximum(dp[:, None], dp[None, :])   # max(|d_i|, |d_j|)
+    # upper-triangular mask selects each unordered pair once (i < j)
+    mask = jnp.triu(jnp.ones((n, n), dtype=d.dtype), k=1)
+    loss = jnp.sum(rl / denom * mask)
+    if norm_num:
+        loss = loss / max(1, n * (n - 1) // 2)
+    return loss
+
+
+def spearman_loss(x, y):
+    """Batched soft Spearman correlation over rank indices
+    (reference: train.py:325-341; unused by the default train path)."""
+    xr = jnp.argsort(x, axis=1).astype(jnp.float32)
+    yr = jnp.argsort(y, axis=1).astype(jnp.float32)
+    n = x.shape[1]
+    upper = 6.0 * jnp.sum((yr - xr) ** 2, axis=1)
+    down = n * (n ** 2 - 1.0)
+    return jnp.mean(1.0 - upper / down)
+
+
+def loss_func_iqa(d, y, w_mae_loss: float = 0.75, w_rank_loss: float = 1.0,
+                  w_pears_loss: float = 0.2, weighted: bool = False):
+    """IQA loss: returns (optimized_loss, aux dict of component values).
+
+    Default (reference behavior): optimized = rank + pears; MAE logged only,
+    weights ignored. With ``weighted=True``: optimized =
+    w_mae*mae + w_rank*rank + w_pears*pears.
+    """
+    mae_value = mae_loss(d, y)
+    rank_value = rank_loss(d, y)
+    pears_value = pears_loss(d, y)
+    if weighted:
+        total = w_mae_loss * mae_value + w_rank_loss * rank_value + w_pears_loss * pears_value
+    else:
+        total = rank_value + pears_value
+    aux = {"mae": mae_value, "rank": rank_value, "pears": pears_value}
+    return total, aux
+
+
+def loss_func_pairwise(p_pred, p_label):
+    """Pairwise-preference loss: MAE only (reference: train.py:526-528)."""
+    return mae_loss(p_pred, p_label)
