@@ -1,0 +1,66 @@
+"""Helper to import the upstream reference (read-only at /root/reference) for
+golden-parity tests.
+
+The image lacks ``timm``/``skimage``/``thop``; this installs minimal stand-ins
+for the handful of symbols the reference imports, then puts the reference on
+sys.path. Used only by tests — never by the framework itself.
+"""
+
+import sys
+import types
+
+REFERENCE_PATH = "/root/reference"
+
+
+def install_reference(path: str = REFERENCE_PATH) -> bool:
+    try:
+        import torch
+        import torch.nn as nn
+    except Exception:
+        return False
+
+    if "timm" not in sys.modules:
+        class DropPath(nn.Module):
+            def __init__(self, drop_prob: float = 0.0, scale_by_keep: bool = True):
+                super().__init__()
+                self.drop_prob = drop_prob
+                self.scale_by_keep = scale_by_keep
+
+            def forward(self, x):
+                if self.drop_prob == 0.0 or not self.training:
+                    return x
+                keep = 1.0 - self.drop_prob
+                shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+                mask = torch.bernoulli(torch.full(shape, keep, device=x.device))
+                if self.scale_by_keep:
+                    mask = mask / keep
+                return x * mask
+
+        def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+            with torch.no_grad():
+                tensor.normal_(mean, std).clamp_(mean + a * std, mean + b * std)
+            return tensor
+
+        timm = types.ModuleType("timm")
+        timm_models = types.ModuleType("timm.models")
+        timm_models_layers = types.ModuleType("timm.models.layers")
+        timm_layers = types.ModuleType("timm.layers")
+        for mod in (timm_models_layers, timm_layers):
+            mod.DropPath = DropPath
+            mod.trunc_normal_ = trunc_normal_
+        timm.models = timm_models
+        timm.layers = timm_layers
+        timm_models.layers = timm_models_layers
+        sys.modules["timm"] = timm
+        sys.modules["timm.models"] = timm_models
+        sys.modules["timm.models.layers"] = timm_models_layers
+        sys.modules["timm.layers"] = timm_layers
+
+    if path not in sys.path:
+        sys.path.insert(0, path)
+    return True
+
+
+def reference_available() -> bool:
+    import os
+    return os.path.isdir(REFERENCE_PATH)

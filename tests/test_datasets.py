@@ -1,0 +1,286 @@
+"""Dataset parser + pipeline tests on synthetic metadata/images
+(SURVEY.md §4: "dataset parser tests on synthetic metadata files")."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vtamiq_tpu.data import (
+    dataset_split, TID2013Dataset, KADID10kDataset, CSIQDataset, LIVEDataset,
+    PIPAL, PIPALTest, PieAPPTrainPairwise, PieAPPTestset, PatchDatasetLoader,
+    SPLIT_NAME_FULL,
+)
+
+H, W = 48, 64  # tiny synthetic images
+
+
+def write_img(path, seed=0):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+# -- synthetic dataset builders --------------------------------------------
+
+def make_tid(root, num_ref=3, num_dist=4):
+    base = os.path.join(root, "tid2013")
+    lines = []
+    for r in range(num_ref):
+        ref_name = f"i{r:02d}"
+        write_img(f"{base}/reference_images/{ref_name}.bmp", seed=r)
+        for d in range(num_dist):
+            dist_name = f"{ref_name}_{d + 1:02d}_1.bmp"
+            write_img(f"{base}/distorted_images/{dist_name}", seed=100 + r * 10 + d)
+            mos = 1.0 + (r * num_dist + d) % 9
+            lines.append(f"{mos} {dist_name}")
+    with open(f"{base}/mos_with_names.txt", "w") as f:
+        f.write("\n".join(lines))
+
+    class TinyTID(TID2013Dataset):
+        num_ref_images = num_ref
+        num_dist_images = num_dist
+
+    return TinyTID(datasets_root=root)
+
+
+def make_kadid(root, num_ref=2, num_dist=3):
+    base = os.path.join(root, "kadid10k")
+    rows = ["dist_img,ref_img,dmos,var"]
+    for r in range(num_ref):
+        ref_name = f"I{r:02d}"
+        write_img(f"{base}/images/{ref_name}.png", seed=r)
+        for d in range(num_dist):
+            dist_name = f"{ref_name}_{d + 1:02d}_01.png"
+            write_img(f"{base}/images/{dist_name}", seed=50 + r * 10 + d)
+            rows.append(f"{dist_name},{ref_name}.png,{1 + d},0.1")
+    with open(f"{base}/dmos.csv", "w") as f:
+        f.write("\n".join(rows))
+
+    class TinyKADID(KADID10kDataset):
+        num_ref_images = num_ref
+        num_dist_images = num_dist
+
+    return TinyKADID(datasets_root=root)
+
+
+def make_csiq(root):
+    base = os.path.join(root, "CSIQ")
+    rows = ["image,dst_type,unused,dst_lev,unused2,dmos"]
+    for name in ("img_a", "img_b"):
+        write_img(f"{base}/src_imgs/{name}.png")
+        for ti, dst in ((1, "awgn"), (2, "jpeg")):
+            write_img(f"{base}/dst_imgs/{dst}/{name}.{dst}.1.png")
+            rows.append(f"{name},{ti},x,1,y,{0.1 * ti}")
+    with open(f"{base}/DMOS.csv", "w") as f:
+        f.write("\n".join(rows))
+
+    class TinyCSIQ(CSIQDataset):
+        num_ref_images = 2
+
+    return TinyCSIQ(datasets_root=root)
+
+
+def make_live(root):
+    import scipy.io
+    base = os.path.join(root, "LIVE")
+    os.makedirs(base, exist_ok=True)
+    # 2 jp2k entries + 1 pristine (orgs=1, skipped); jp2k bucket count is 227
+    # but only indices 0..1 used here
+    refnames = np.empty((3,), dtype=object)
+    refnames[0] = np.array(["refA.bmp"])
+    refnames[1] = np.array(["refB.bmp"])
+    refnames[2] = np.array(["refA.bmp"])
+    scipy.io.savemat(f"{base}/refnames_all.mat", {"refnames_all": refnames.reshape(1, -1)})
+    scipy.io.savemat(f"{base}/dmos_realigned.mat", {
+        "dmos_new": np.array([[30.0, 50.0, 0.0]]),
+        "orgs": np.array([[0, 0, 1]]),
+    })
+    write_img(f"{base}/refimgs/refA.bmp")
+    write_img(f"{base}/refimgs/refB.bmp")
+    write_img(f"{base}/jp2k/img1.bmp")
+    write_img(f"{base}/jp2k/img2.bmp")
+
+    class TinyLIVE(LIVEDataset):
+        num_ref_images = 2
+
+    return TinyLIVE(datasets_root=root, qs_linearize=False)  # too few points to fit
+
+
+def make_pipal(root, num_ref=2, num_dist=3):
+    base = os.path.join(root, "PIPAL")
+    os.makedirs(f"{base}/Train_Label", exist_ok=True)
+    for r in range(num_ref):
+        ref = f"A{r:04d}"
+        write_img(f"{base}/Train_Ref/{ref}.bmp", seed=r)
+        lines = []
+        for d in range(num_dist):
+            dist = f"{ref}_{d:02d}.bmp"
+            write_img(f"{base}/Train_Dist/{dist}", seed=10 + d)
+            lines.append(f"{dist},{1400 + 13 * d}")
+        with open(f"{base}/Train_Label/{ref}.txt", "w") as f:
+            f.write("\n".join(lines))
+
+    class TinyPIPAL(PIPAL):
+        num_ref_images = num_ref
+        num_dist_images = num_dist
+
+    return TinyPIPAL(datasets_root=root)
+
+
+def make_pieapp_train(root, num_ref=2, num_pairs=3):
+    base = os.path.join(root, "PieAPP_dataset")
+    os.makedirs(f"{base}/labels/train", exist_ok=True)
+    for r in range(num_ref):
+        ref = f"ref{r}.png"
+        stem = ref[:-4]
+        write_img(f"{base}/reference_images/train/{ref}", seed=r)
+        rows = ["ref,A,B,raw,prob"]
+        for p in range(num_pairs):
+            a, b = f"a{p}.png", f"b{p}.png"
+            write_img(f"{base}/distorted_images/train/{stem}/{a}", seed=20 + p)
+            write_img(f"{base}/distorted_images/train/{stem}/{b}", seed=30 + p)
+            rows.append(f"{ref},{a},{b},x,{0.25 * (p + 1)}")
+        with open(f"{base}/labels/train/{stem}_pairwise.csv", "w") as f:
+            f.write("\n".join(rows))
+
+    class TinyPieAPP(PieAPPTrainPairwise):
+        num_ref_images = num_ref
+        num_dist_images = num_pairs
+
+    return TinyPieAPP(datasets_root=root)
+
+
+# -- tests ------------------------------------------------------------------
+
+class TestTID:
+    def test_parse_and_process(self, tmp_path):
+        ds = make_tid(str(tmp_path))
+        assert len(ds) == 12
+        assert len(ds.paths_ref) == 12
+        # q processed to [0,1] and reversed (higher MOS -> lower q)
+        assert 0.0 <= ds.qs.min() and ds.qs.max() <= 1.0 + 1e-9
+        raw_first, raw_last = 1.0, None  # first line has lowest MOS bucket
+        # highest raw MOS maps to lower processed q than lowest raw MOS
+        i_hi = int(np.argmax([1.0 + i % 9 for i in range(12)]))
+        i_lo = int(np.argmin([1.0 + i % 9 for i in range(12)]))
+        assert ds.qs[i_hi] < ds.qs[i_lo]
+
+    def test_splits_expand_ref_to_pairs(self, tmp_path):
+        ds = make_tid(str(tmp_path))
+        ds.add_split(dataset_split("Training", [0, 1]))
+        ds.add_split(dataset_split("Testing", [2]))
+        assert ds.split_len("Training") == 8
+        assert ds.split_len("Testing") == 4
+        np.testing.assert_array_equal(ds.split_indices("Testing"), [8, 9, 10, 11])
+
+    def test_full_split(self, tmp_path):
+        ds = make_tid(str(tmp_path))
+        ds.add_split(None)
+        assert ds.split_len(SPLIT_NAME_FULL) == 12
+
+    def test_get_sample(self, tmp_path):
+        ds = make_tid(str(tmp_path))
+        q, raw, norm = ds.get_sample(0)
+        assert len(raw) == 2 and raw[0].shape == (H, W, 3)
+        assert raw[0].min() >= 0.0 and raw[0].max() <= 1.0
+        # default normalization (mean .5, std .5) -> [-1, 1]
+        assert norm[0].min() >= -1.0 - 1e-6 and norm[0].max() <= 1.0 + 1e-6
+
+    def test_flip_shared_between_ref_dist(self, tmp_path):
+        ds = make_tid(str(tmp_path))
+        ds.allow_img_flip = True
+        rng = np.random.default_rng(3)
+        q, raw, _ = ds.get_sample(0, rng=rng)
+        q2, raw2, _ = ds.get_sample(0)  # no flip
+        # either flipped or not, but ref and dist transform identically:
+        # re-derive by checking the ref against manual flips of the unflipped
+        candidates = [raw2[0], raw2[0][:, ::-1], raw2[0][::-1], raw2[0][::-1, ::-1]]
+        matches = [np.allclose(raw[0], c) for c in candidates]
+        assert any(matches)
+        which = int(np.argmax(matches))
+        dist_candidates = [raw2[1], raw2[1][:, ::-1], raw2[1][::-1], raw2[1][::-1, ::-1]]
+        assert np.allclose(raw[1], dist_candidates[which])
+
+
+class TestOtherParsers:
+    def test_kadid(self, tmp_path):
+        ds = make_kadid(str(tmp_path))
+        assert len(ds) == 6
+        assert all(p.endswith(".png") for p in ds.paths_dist)
+
+    def test_csiq(self, tmp_path):
+        ds = make_csiq(str(tmp_path))
+        assert len(ds) == 4
+        assert ds.dist_images_per_image.tolist() == [2, 2]
+        assert "awgn" in ds.paths_dist[0]
+
+    def test_live(self, tmp_path):
+        ds = make_live(str(tmp_path))
+        # pristine (orgs=1) entry skipped
+        assert len(ds) == 2
+        assert ds.dist_images_per_image.tolist() == [1, 1]
+
+    def test_pipal(self, tmp_path):
+        ds = make_pipal(str(tmp_path))
+        assert len(ds) == 6
+        # ELO reversed: higher ELO -> better -> lower processed q
+        assert ds.qs[2] < ds.qs[0]
+
+    def test_pieapp_train_pairwise(self, tmp_path):
+        ds = make_pieapp_train(str(tmp_path))
+        assert ds.is_pairwise
+        assert len(ds) == 6
+        assert ds.num_images_per_sample == 3
+        # preference probabilities untouched by process_qs
+        np.testing.assert_allclose(sorted(set(ds.qs)), [0.25, 0.5, 0.75])
+        q, raw, norm = ds.get_sample(0)
+        assert len(raw) == 3
+
+
+class TestLoader:
+    def test_batches_and_len(self, tmp_path):
+        ds = make_tid(str(tmp_path))
+        ds.add_split(dataset_split("Training", [0, 1]))
+        loader = PatchDatasetLoader(ds, "Training", batch_size=3, patch_count=16,
+                                    shuffle=True, seed=0, prefetch=2)
+        batches = list(loader)
+        assert len(batches) == len(loader) == 3  # 8 items, batch 3 -> 3 batches
+        total_valid = sum(b.valid for b in batches)
+        assert total_valid == 8
+        b0 = batches[0]
+        assert b0.imgs_norm.shape == (3, 2, H, W, 3)
+        assert b0.qs.shape == (3,)
+
+    def test_shuffle_changes_order_between_epochs(self, tmp_path):
+        ds = make_tid(str(tmp_path))
+        ds.add_split(dataset_split("Training", [0, 1, 2]))
+        loader = PatchDatasetLoader(ds, "Training", batch_size=4, patch_count=16,
+                                    shuffle=True, seed=0, prefetch=0)
+        order1 = np.concatenate([b.indices[:b.valid] for b in loader])
+        order2 = np.concatenate([b.indices[:b.valid] for b in loader])
+        assert sorted(order1) == sorted(order2)
+        assert not np.array_equal(order1, order2)
+
+    def test_no_shuffle_deterministic(self, tmp_path):
+        ds = make_tid(str(tmp_path))
+        ds.add_split(dataset_split("Testing", [2]))
+        loader = PatchDatasetLoader(ds, "Testing", batch_size=2, patch_count=16,
+                                    shuffle=False, prefetch=0)
+        order1 = np.concatenate([b.indices[:b.valid] for b in loader])
+        np.testing.assert_array_equal(order1, [8, 9, 10, 11])
+
+    def test_num_repeats(self, tmp_path):
+        ds = make_tid(str(tmp_path))
+        ds.add_split(dataset_split("Testing", [0]))
+        loader = PatchDatasetLoader(ds, "Testing", batch_size=4, patch_count=16,
+                                    shuffle=False, num_repeats_data=2, prefetch=0)
+        idx = np.concatenate([b.indices[:b.valid] for b in loader])
+        np.testing.assert_array_equal(idx, [0, 1, 2, 3, 0, 1, 2, 3])
+
+    def test_missing_split_raises(self, tmp_path):
+        ds = make_tid(str(tmp_path))
+        with pytest.raises(ValueError):
+            PatchDatasetLoader(ds, "Nope", batch_size=2, patch_count=16)

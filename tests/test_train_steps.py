@@ -1,0 +1,219 @@
+"""Tests for the fused train/eval steps, optimizer factory, freeze masks,
+and multi-device sharding (8 virtual CPU devices, see conftest)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vtamiq_tpu.models.configs import get_vit_config, VTAMIQConfig
+from vtamiq_tpu.models.vtamiq import init_vtamiq_params
+from vtamiq_tpu.ops import PatchSampler
+from vtamiq_tpu.train.steps import ExtractConfig, make_extract_fn, make_train_step, make_eval_step
+from vtamiq_tpu.train.optim import (
+    make_optimizer, make_lr_schedule, build_freeze_mask, apply_mask,
+)
+from vtamiq_tpu.parallel import make_mesh, shard_params, shard_batch, param_specs
+
+CFG = VTAMIQConfig(vit=get_vit_config(num_keep_layers=1, num_extra_tokens=4,
+                                      hidden_size=32, mlp_dim=64, num_heads=2),
+                   num_rgs=1, num_rcabs=1, ca_reduction=4)
+ECFG = ExtractConfig(patch_count=16, patch_dim=16)
+
+GCONF = dict(optimizer="AdamW", optimizer_weight_decay=0.01,
+             optimizer_learning_rate=5e-5, scheduler_step_per_batch=False,
+             scheduler_type="lambda", optimizer_learning_rate_decay_lambda_goal=0.01,
+             num_epochs=4, optimizer_decay_after_n_epochs=[2, 3],
+             optimizer_learning_rate_decay_multistep=0.1,
+             optimizer_learning_rate_decay_cosine=0.01,
+             optimizer_sgd_momentum=0.9, optimizer_sgd_nesterov=True)
+
+LW = jnp.array([0.75, 1.0, 0.2])
+
+
+def make_batch(b=4, k=2, h=64, w=64, seed=0):
+    rng = np.random.default_rng(seed)
+    raw = rng.uniform(0, 1, size=(b, k, h, w, 3)).astype(np.float32)
+    qs = rng.uniform(0, 1, size=(b,)).astype(np.float32)
+    return jnp.asarray(raw), jnp.asarray(raw * 2 - 1), jnp.asarray(qs)
+
+
+class TestSchedules:
+    def test_lambda_decay_per_epoch(self):
+        s = make_lr_schedule(GCONF, steps_per_epoch=10)
+        lr0 = float(s(0))
+        lr_end = float(s(4 * 10 - 1))
+        assert abs(lr0 - 5e-5) < 1e-12
+        # after the last epoch boundary, LR approaches goal*lr
+        assert lr_end < lr0
+        assert abs(float(s(5)) - lr0) < 1e-12  # same epoch -> same LR
+
+    def test_multistep(self):
+        conf = dict(GCONF, scheduler_type="multistep")
+        s = make_lr_schedule(conf, steps_per_epoch=2)
+        lr = conf["optimizer_learning_rate"]
+        assert abs(float(s(0)) - lr) < 1e-9            # epoch 0 (fp32)
+        assert abs(float(s(2 * 2)) - lr * 0.1) < 1e-9  # epoch 2: 1 milestone
+        assert abs(float(s(3 * 2)) - lr * 0.01) < 1e-9 # epoch 3: 2 milestones
+
+    def test_cosine(self):
+        conf = dict(GCONF, scheduler_type="cosine", scheduler_step_per_batch=True)
+        s = make_lr_schedule(conf, steps_per_epoch=5)
+        assert float(s(0)) > float(s(19))
+
+    def test_bad_scheduler(self):
+        with pytest.raises(ValueError):
+            make_lr_schedule(dict(GCONF, scheduler_type="nope"), 1)
+
+
+class TestFreezeMask:
+    def test_unfrozen_all_ones(self):
+        params = init_vtamiq_params(jax.random.PRNGKey(0), CFG)
+        mask = build_freeze_mask(params, False, {})
+        assert all(float(m) == 1.0 for m in jax.tree_util.tree_leaves(mask))
+
+    def test_default_freeze_dict(self):
+        params = init_vtamiq_params(jax.random.PRNGKey(0), CFG)
+        mask = build_freeze_mask(params, True, {"freeze_dict_vit": {}})
+        # encoder weights frozen; LayerScale trainable
+        layer = mask["vit"]["encoder"]["layers"]["layer_0"]
+        assert float(jnp.asarray(layer["attn"]["query"]["kernel"])) == 0.0
+        assert float(jnp.asarray(layer["ls1"])) == 1.0
+        # embeddings frozen; head trainable
+        assert float(jnp.asarray(mask["vit"]["embeddings"]["cls_token"])) == 0.0
+        assert float(jnp.asarray(
+            jax.tree_util.tree_leaves(mask["q_predictor"])[0])) == 1.0
+
+    def test_freeze_head_too(self):
+        params = init_vtamiq_params(jax.random.PRNGKey(0), CFG)
+        mask = build_freeze_mask(params, True, {
+            "freeze_dict_vit": {}, "freeze_quality_decoder": True,
+            "freeze_q_predictor": True})
+        assert all(float(jnp.asarray(m)) == 0.0
+                   for m in jax.tree_util.tree_leaves(mask["q_predictor"]))
+
+    def test_apply_mask(self):
+        g = {"a": jnp.ones(3), "b": jnp.ones(2)}
+        m = {"a": 0.0, "b": 1.0}
+        out = apply_mask(g, m)
+        assert float(out["a"].sum()) == 0.0 and float(out["b"].sum()) == 2.0
+
+
+class TestTrainStep:
+    def test_loss_decreases_on_repeated_batch(self):
+        params = init_vtamiq_params(jax.random.PRNGKey(0), CFG)
+        conf = dict(GCONF, optimizer_learning_rate=1e-3)
+        optimizer, _ = make_optimizer(conf, steps_per_epoch=1)
+        opt_state = optimizer.init(params)
+        mask = build_freeze_mask(params, False, {})
+        step = make_train_step(CFG, PatchSampler(), ECFG, optimizer,
+                               compute_dtype=jnp.float32)
+        raw, norm, qs = make_batch(b=6)
+        key = jax.random.PRNGKey(0)
+        first = None
+        for i in range(8):
+            params, opt_state, metrics, q_p = step(
+                params, opt_state, mask, raw, norm, qs, key, LW)
+            if first is None:
+                first = float(metrics["loss"])
+        assert float(metrics["loss"]) < first
+
+    def test_frozen_params_do_not_move(self):
+        params = init_vtamiq_params(jax.random.PRNGKey(0), CFG)
+        snap = np.asarray(params["vit"]["encoder"]["layers"]["layer_0"]
+                          ["attn"]["query"]["kernel"]).copy()
+        optimizer, _ = make_optimizer(dict(GCONF, optimizer_learning_rate=1e-2), 1)
+        opt_state = optimizer.init(params)
+        mask = build_freeze_mask(params, True, {"freeze_dict_vit": {}})
+        step = make_train_step(CFG, PatchSampler(), ECFG, optimizer,
+                               compute_dtype=jnp.float32)
+        raw, norm, qs = make_batch()
+        params, opt_state, _, _ = step(params, opt_state, mask, raw, norm, qs,
+                                       jax.random.PRNGKey(1), LW)
+        np.testing.assert_array_equal(
+            snap, np.asarray(params["vit"]["encoder"]["layers"]["layer_0"]
+                             ["attn"]["query"]["kernel"]))
+
+    def test_pairwise_step(self):
+        params = init_vtamiq_params(jax.random.PRNGKey(0), CFG)
+        optimizer, _ = make_optimizer(GCONF, 1)
+        opt_state = optimizer.init(params)
+        mask = build_freeze_mask(params, False, {})
+        step = make_train_step(CFG, PatchSampler(), ECFG, optimizer,
+                               is_pairwise=True, compute_dtype=jnp.float32)
+        raw, norm, _ = make_batch(b=3, k=3)  # ref, distA, distB
+        prefs = jnp.asarray([0.2, 0.5, 0.9])
+        params, opt_state, metrics, q_p = step(
+            params, opt_state, mask, raw, norm, prefs, jax.random.PRNGKey(0), LW)
+        assert q_p.shape == (3,)
+        assert np.all((np.asarray(q_p) > 0) & (np.asarray(q_p) < 1))  # sigmoid output
+
+    def test_eval_step_deterministic_given_key(self):
+        params = init_vtamiq_params(jax.random.PRNGKey(0), CFG)
+        eval_step = make_eval_step(CFG, PatchSampler(), ECFG, compute_dtype=jnp.float32)
+        raw, norm, qs = make_batch()
+        m1, q1 = eval_step(params, raw, norm, qs, jax.random.PRNGKey(7), LW)
+        m2, q2 = eval_step(params, raw, norm, qs, jax.random.PRNGKey(7), LW)
+        np.testing.assert_allclose(np.asarray(q1), np.asarray(q2))
+        m3, q3 = eval_step(params, raw, norm, qs, jax.random.PRNGKey(8), LW)
+        assert not np.allclose(np.asarray(q1), np.asarray(q3))  # patch resample
+
+
+class TestExtractFn:
+    def test_batched_extraction_shapes(self):
+        extract = make_extract_fn(PatchSampler(), ECFG)
+        raw, norm, _ = make_batch(b=3)
+        patches, pos, scales = extract(raw, norm, jax.random.PRNGKey(0))
+        assert patches.shape == (3, 2, 16, 16, 16, 3)
+        assert pos.shape == (3, 2, 16, 2)
+        assert scales is None
+
+    def test_items_draw_independent_layouts(self):
+        extract = make_extract_fn(PatchSampler(), ECFG)
+        raw, norm, _ = make_batch(b=2)
+        _, pos, _ = extract(raw, norm, jax.random.PRNGKey(0))
+        assert not np.allclose(np.asarray(pos[0]), np.asarray(pos[1]))
+
+
+class TestSharding:
+    def test_mesh_and_param_placement(self):
+        mesh = make_mesh(data=4, model=2)
+        params = init_vtamiq_params(jax.random.PRNGKey(0), CFG)
+        sharded = shard_params(params, mesh)
+        # fc1 kernel is column-parallel over "model"
+        fc1 = sharded["vit"]["encoder"]["layers"]["layer_0"]["mlp"]["fc1"]["kernel"]
+        assert len(fc1.sharding.device_set) == 8
+
+    def test_data_parallel_train_step(self):
+        mesh = make_mesh(data=4, model=2)
+        params = init_vtamiq_params(jax.random.PRNGKey(0), CFG)
+        optimizer, _ = make_optimizer(GCONF, 1)
+        opt_state = optimizer.init(params)
+        mask = build_freeze_mask(params, False, {})
+        wrap = make_train_step(CFG, PatchSampler(), ECFG, optimizer,
+                               compute_dtype=jnp.float32, mesh=mesh)
+        step = wrap(params, opt_state, mask)
+
+        params = shard_params(params, mesh)
+        raw, norm, qs = make_batch(b=8)
+        raw, norm, qs = shard_batch((raw, norm, qs), mesh)
+        params, opt_state, metrics, q_p = step(
+            params, opt_state, mask, raw, norm, qs, jax.random.PRNGKey(0), LW)
+        assert np.isfinite(float(metrics["loss"]))
+        assert q_p.shape == (8,)
+
+    def test_sharded_matches_single_device(self):
+        """Data-parallel eval must produce the same predictions as single-device."""
+        params = init_vtamiq_params(jax.random.PRNGKey(0), CFG)
+        raw, norm, qs = make_batch(b=8)
+        single = make_eval_step(CFG, PatchSampler(), ECFG, compute_dtype=jnp.float32)
+        m1, q1 = single(params, raw, norm, qs, jax.random.PRNGKey(3), LW)
+
+        mesh = make_mesh(data=8, model=1)
+        wrap = make_eval_step(CFG, PatchSampler(), ECFG,
+                              compute_dtype=jnp.float32, mesh=mesh)
+        step = wrap(params)
+        sp = shard_params(params, mesh)
+        sraw, snorm, sqs = shard_batch((raw, norm, qs), mesh)
+        m2, q2 = step(sp, sraw, snorm, sqs, jax.random.PRNGKey(3), LW)
+        np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), rtol=2e-4, atol=2e-4)

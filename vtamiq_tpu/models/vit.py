@@ -249,15 +249,20 @@ def scale_lookup(scale_table: jnp.ndarray, scales: jnp.ndarray, num_scales: int)
 
 
 def embed_patches(params, cfg: ViTConfig, patches, pos, scales=None,
-                  compute_dtype=jnp.float32):
-    """(B, N, P, P, 3) [or pre-flattened (B, N, P*P*3) / pre-embedded (B, N, H)]
+                  compute_dtype=jnp.float32, pre_embedded: bool = False):
+    """(B, N, P, P, 3) or pre-flattened (B, N, P*P*3) pixel patches
+    [or, with ``pre_embedded=True``, (B, N, H) features]
     -> (B, T + N, H) token sequence (reference Embeddings.forward,
-    transformer.py:526-562)."""
+    transformer.py:526-562).
+
+    NOTE: pre-embedded inputs need the explicit flag — for B/16 the flat
+    pixel size P*P*3 == hidden_size == 768, so shapes cannot disambiguate.
+    """
     emb = params["embeddings"]
     b, n = patches.shape[0], patches.shape[1]
 
     x = patches.reshape(b, n, -1).astype(compute_dtype)
-    if cfg.use_patch_embedding and x.shape[-1] != cfg.hidden_size:
+    if cfg.use_patch_embedding and not pre_embedded:
         x = dense(emb["patch"], x, compute_dtype)
 
     if cfg.use_pos_embedding:
@@ -295,7 +300,7 @@ def vit_forward(params, cfg: ViTConfig, patches, pos, scales=None, *,
                 train: bool = False, rng: Optional[jax.Array] = None,
                 patch_mask: Optional[jnp.ndarray] = None,
                 compute_dtype=jnp.bfloat16, pad_seq_to: Optional[int] = 128,
-                attention_fn=None) -> jnp.ndarray:
+                attention_fn=None, pre_embedded: bool = False) -> jnp.ndarray:
     """Full ViT forward over a sparse patch sequence.
 
     Args:
@@ -311,7 +316,8 @@ def vit_forward(params, cfg: ViTConfig, patches, pos, scales=None, *,
     """
     b, n = patches.shape[0], patches.shape[1]
     t = cfg.num_tokens
-    x = embed_patches(params, cfg, patches, pos, scales, compute_dtype)
+    x = embed_patches(params, cfg, patches, pos, scales, compute_dtype,
+                      pre_embedded=pre_embedded)
 
     mask = None
     if patch_mask is not None:

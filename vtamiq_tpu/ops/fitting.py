@@ -67,9 +67,13 @@ class FitFunction:
         else:
             raise ValueError(f"Unsupported residuals function [{residuals_func}].")
 
-        with np.errstate(over="ignore", invalid="ignore"):
-            self.p, _cov, _info, _msg, _ier = scipy.optimize.leastsq(
-                self._residuals, self.pguess, args=(source, target), full_output=True)
+        try:
+            with np.errstate(over="ignore", invalid="ignore"):
+                self.p, _cov, _info, _msg, _ier = scipy.optimize.leastsq(
+                    self._residuals, self.pguess, args=(source, target), full_output=True)
+        except TypeError as e:
+            # leastsq requires at least as many points as parameters
+            raise OverflowError(f"FitFunction: fit failed ({e}).")
 
         if np.isnan(np.asarray(self.p, dtype=float)).any():
             raise OverflowError("FitFunction: fit produced NaNs.")

@@ -1,0 +1,202 @@
+"""Jitted train / eval steps: on-device sampling -> extraction -> dual-tower
+forward -> loss -> masked optimizer update, as ONE XLA program.
+
+This is the TPU-first replacement for the reference's split between CPU
+DataLoader workers (sampling+gather, patch_sampling.py:450-613) and the GPU
+forward/backward (train.py:483-580): here the sampler, gather, ViT, DiffNet,
+loss, and optimizer fuse into a single compiled step, so HBM traffic is
+minimized and there is no host<->device patch shuttling — images ship to the
+device once per batch.
+
+Data-parallel + tensor-parallel execution: pass a Mesh and the step is
+compiled with GSPMD shardings (batch over "data", Megatron-style TP over
+"model"); XLA inserts gradient psums over ICI automatically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.configs import VTAMIQConfig
+from ..models.vtamiq import vtamiq_forward
+from ..models.preference import preference_forward, preference_sigmoid
+from ..ops.extraction import get_iqa_patches
+from ..ops.losses import loss_func_iqa, loss_func_pairwise
+from ..ops.sampling import PatchSampler, DEFAULT_NUM_SAMPLES_RATIO
+from ..parallel.mesh import (
+    batch_sharding, param_shardings, replicated, Mesh,
+)
+from .optim import apply_mask
+
+
+@dataclasses.dataclass(frozen=True)
+class ExtractConfig:
+    """Static knobs of the on-device sampling+extraction stage."""
+    patch_count: int = 384
+    patch_dim: int = 16
+    patch_num_scales: int = 1
+    scale_num_samples_ratio: float = DEFAULT_NUM_SAMPLES_RATIO
+    use_aligned_patches: bool = True
+
+
+def make_extract_fn(sampler: PatchSampler, ecfg: ExtractConfig) -> Callable:
+    """(B, K, H, W, 3) raw+normalized images + key -> batched patches.
+
+    vmapped over the batch with per-item PRNG keys so every item draws an
+    independent patch layout (like per-worker numpy RNG in the reference)."""
+
+    def extract_one(raw, norm, key):
+        return get_iqa_patches(
+            raw, norm, key, ecfg.patch_count, ecfg.patch_dim, sampler,
+            ecfg.patch_num_scales, ecfg.scale_num_samples_ratio,
+            ecfg.use_aligned_patches)
+
+    def extract(imgs_raw, imgs_norm, key):
+        b = imgs_raw.shape[0]
+        keys = jax.random.split(key, b)
+        return jax.vmap(extract_one)(imgs_raw, imgs_norm, keys)
+
+    return extract
+
+
+def _forward_scores(params, cfg: VTAMIQConfig, patches, pos, scales,
+                    is_pairwise: bool, use_pref_module: bool,
+                    train: bool, rng, compute_dtype):
+    """(B, K, N, ...) patches -> predictions.
+
+    FR (K=2): q scores. Pairwise (K=3: ref, distA, distB): preference probs —
+    both (ref, distA) and (ref, distB) fold into one forward of batch 2B
+    (reference runs two separate passes, train.py:282-301)."""
+    if not is_pairwise:
+        q = vtamiq_forward(params, cfg, patches, pos, scales, train=train,
+                           rng=rng, compute_dtype=compute_dtype)
+        return q
+
+    ref_p, d1_p, d2_p = patches[:, 0], patches[:, 1], patches[:, 2]
+    pair_patches = jnp.concatenate([
+        jnp.stack([ref_p, d1_p], axis=1), jnp.stack([ref_p, d2_p], axis=1)], axis=0)
+    ref_u, d1_u, d2_u = pos[:, 0], pos[:, 1], pos[:, 2]
+    pair_pos = jnp.concatenate([
+        jnp.stack([ref_u, d1_u], axis=1), jnp.stack([ref_u, d2_u], axis=1)], axis=0)
+    pair_scales = None
+    if scales is not None:
+        r, s1, s2 = scales[:, 0], scales[:, 1], scales[:, 2]
+        pair_scales = jnp.concatenate([
+            jnp.stack([r, s1], axis=1), jnp.stack([r, s2], axis=1)], axis=0)
+
+    q_all = vtamiq_forward(params, cfg, pair_patches, pair_pos, pair_scales,
+                           train=train, rng=rng, compute_dtype=compute_dtype)
+    b = patches.shape[0]
+    q1, q2 = q_all[:b], q_all[b:]
+    if use_pref_module:
+        return preference_forward(params["pref_module"], q1, q2)
+    return preference_sigmoid(q1, q2)
+
+
+def make_train_step(cfg: VTAMIQConfig, sampler: PatchSampler, ecfg: ExtractConfig,
+                    optimizer: optax.GradientTransformation,
+                    is_pairwise: bool = False, use_pref_module: bool = False,
+                    weighted_loss: bool = False, compute_dtype=jnp.bfloat16,
+                    mesh: Optional[Mesh] = None) -> Callable:
+    """Build the fused jitted train step.
+
+    step(params, opt_state, mask, imgs_raw, imgs_norm, qs, key, loss_weights)
+      -> (params, opt_state, metrics dict, q_pred)
+
+    ``mask`` is the 0/1 freeze mask (data, not static — unfreeze never
+    retraces). ``loss_weights`` = (w_mae, w_rank, w_pears) traced scalars.
+    """
+    extract = make_extract_fn(sampler, ecfg)
+
+    def step(params, opt_state, mask, imgs_raw, imgs_norm, qs, key, loss_weights):
+        key_sample, key_model = jax.random.split(key)
+        patches, pos, scales = extract(imgs_raw, imgs_norm, key_sample)
+
+        def loss_fn(p):
+            q_p = _forward_scores(p, cfg, patches, pos, scales, is_pairwise,
+                                  use_pref_module, True, key_model, compute_dtype)
+            if is_pairwise:
+                loss = loss_func_pairwise(q_p, qs)
+                aux = {"mae": loss, "rank": jnp.zeros(()), "pears": jnp.zeros(())}
+            else:
+                loss, aux = loss_func_iqa(q_p, qs, loss_weights[0], loss_weights[1],
+                                          loss_weights[2], weighted=weighted_loss)
+            return loss, (aux, q_p)
+
+        (loss, (aux, q_p)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        grads = apply_mask(grads, mask)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        updates = apply_mask(updates, mask)
+        new_params = optax.apply_updates(params, updates)
+
+        metrics = {"loss": loss, **aux,
+                   "grad_norm": optax.global_norm(grads)}
+        return new_params, new_opt_state, metrics, q_p
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    # GSPMD-sharded compile: params/opt_state follow TP layout, batch over data
+    def sharded(params_template):
+        p_sh = param_shardings(params_template, mesh)
+        o_sh = None  # inferred by jit from params via init below
+        return p_sh
+
+    rep = replicated(mesh)
+    data = batch_sharding(mesh)
+
+    def wrap(params_template, opt_state_template, mask_template):
+        p_sh = param_shardings(params_template, mesh)
+        o_sh = jax.tree_util.tree_map(
+            lambda _: rep, opt_state_template,
+            is_leaf=lambda x: not isinstance(x, (tuple, list, dict)))
+        m_sh = jax.tree_util.tree_map(lambda _: rep, mask_template)
+        return jax.jit(
+            step,
+            in_shardings=(p_sh, o_sh, m_sh, data, data, data, rep, rep),
+            out_shardings=(p_sh, o_sh, rep, data),
+            donate_argnums=(0, 1),
+        )
+
+    return wrap
+
+
+def make_eval_step(cfg: VTAMIQConfig, sampler: PatchSampler, ecfg: ExtractConfig,
+                   is_pairwise: bool = False, use_pref_module: bool = False,
+                   weighted_loss: bool = False, compute_dtype=jnp.bfloat16,
+                   mesh: Optional[Mesh] = None) -> Callable:
+    """eval_step(params, imgs_raw, imgs_norm, qs, key, loss_weights)
+    -> (metrics, q_pred). No dropout/droppath; patches re-sampled per call
+    (eval repeats average predictions downstream, train.py:398-409)."""
+    extract = make_extract_fn(sampler, ecfg)
+
+    def step(params, imgs_raw, imgs_norm, qs, key, loss_weights):
+        patches, pos, scales = extract(imgs_raw, imgs_norm, key)
+        q_p = _forward_scores(params, cfg, patches, pos, scales, is_pairwise,
+                              use_pref_module, False, None, compute_dtype)
+        if is_pairwise:
+            loss = loss_func_pairwise(q_p, qs)
+            aux = {"mae": loss, "rank": jnp.zeros(()), "pears": jnp.zeros(())}
+        else:
+            loss, aux = loss_func_iqa(q_p, qs, loss_weights[0], loss_weights[1],
+                                      loss_weights[2], weighted=weighted_loss)
+        return {"loss": loss, **aux}, q_p
+
+    if mesh is None:
+        return jax.jit(step)
+
+    rep = replicated(mesh)
+    data = batch_sharding(mesh)
+
+    def wrap(params_template):
+        p_sh = param_shardings(params_template, mesh)
+        return jax.jit(step,
+                       in_shardings=(p_sh, data, data, data, rep, rep),
+                       out_shardings=(rep, data))
+    return wrap
