@@ -1,0 +1,130 @@
+"""Flash/blockwise attention tests: equivalence with exact attention,
+masking, gradients (CPU path; the Pallas kernel itself runs on TPU and is
+exercised by bench/graft)."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vtamiq_tpu.ops.attention import (
+    blockwise_attention, flash_attention, make_attention_fn,
+)
+
+
+def exact_attention(q, k, v, mask=None):
+    d = q.shape[-1]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(d)
+    if mask is not None:
+        logits = jnp.where(mask[:, None, None, :], logits, -1e30)
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+
+def make_qkv(b=2, s=192, h=2, d=32, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    return mk(), mk(), mk()
+
+
+class TestBlockwise:
+    def test_matches_exact(self):
+        q, k, v = make_qkv()
+        out = blockwise_attention(q, k, v, block_k=64)
+        ref = exact_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def test_matches_exact_nondivisible_s(self):
+        q, k, v = make_qkv(s=100)  # not a multiple of block_k
+        out = blockwise_attention(q, k, v, block_k=64)
+        ref = exact_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def test_mask(self):
+        q, k, v = make_qkv(s=128)
+        mask = jnp.ones((2, 128), bool).at[:, 64:].set(False)
+        out = blockwise_attention(q, k, v, mask, block_k=32)
+        ref = exact_attention(q, k, v, mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+        # masked keys must not affect the result at all
+        v2 = v.at[:, 64:].set(123.0)
+        k2 = k.at[:, 64:].set(-7.0)
+        out2 = blockwise_attention(q, k2, v2, mask, block_k=32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out2), rtol=1e-6, atol=1e-6)
+
+
+class TestFlashAttention:
+    def test_cpu_path_matches_exact(self):
+        q, k, v = make_qkv(s=256)
+        out = flash_attention(q, k, v, block_q=128, block_k=128, use_pallas=False)
+        ref = exact_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def test_pad_and_mask(self):
+        q, k, v = make_qkv(s=300)  # pads to 512 internally
+        mask = jnp.ones((2, 300), bool).at[:, 250:].set(False)
+        out = flash_attention(q, k, v, mask, block_q=256, block_k=256, use_pallas=False)
+        ref = exact_attention(q, k, v, mask)
+        assert out.shape == q.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def test_gradients_match_exact(self):
+        q, k, v = make_qkv(s=128, b=1, h=1, d=16)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, block_q=64, block_k=64,
+                                           use_pallas=False) ** 2)
+
+        def loss_exact(q, k, v):
+            return jnp.sum(exact_attention(q, k, v) ** 2)
+
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_exact, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-4)
+
+    def test_pallas_kernel_interpret_mode(self):
+        """Run the actual Pallas kernel in interpreter mode on CPU."""
+        from jax.experimental.pallas import tpu as pltpu
+        q, k, v = make_qkv(b=1, s=256, h=1, d=32)
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_attention(q, k, v, block_q=128, block_k=128, use_pallas=True)
+        ref = exact_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def test_pallas_kernel_interpret_mode_masked(self):
+        from jax.experimental.pallas import tpu as pltpu
+        q, k, v = make_qkv(b=2, s=256, h=2, d=32, seed=3)
+        mask = jnp.ones((2, 256), bool).at[:, 200:].set(False)
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_attention(q, k, v, mask, block_q=128, block_k=128,
+                                  use_pallas=True)
+        ref = exact_attention(q, k, v, mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+class TestAttentionFnIntegration:
+    def test_small_seq_uses_exact(self):
+        fn = make_attention_fn(threshold=512)
+        q, k, v = make_qkv(s=128)
+        out = fn(q, k, v, None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(exact_attention(q, k, v)),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_vit_forward_with_flash(self):
+        from vtamiq_tpu.models.configs import get_vit_config
+        from vtamiq_tpu.models.vit import init_vit_params, vit_forward
+        cfg = get_vit_config(num_keep_layers=1, num_extra_tokens=4,
+                             hidden_size=64, mlp_dim=128, num_heads=2)
+        params = init_vit_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(0)
+        patches = jnp.asarray(rng.normal(size=(2, 20, 16, 16, 3)), jnp.float32)
+        pos = jnp.asarray(rng.uniform(0, 1 - 1e-6, size=(2, 20, 2)), jnp.float32)
+        out_exact = vit_forward(params, cfg, patches, pos, compute_dtype=jnp.float32)
+        out_flash = vit_forward(params, cfg, patches, pos, compute_dtype=jnp.float32,
+                                attention_fn=make_attention_fn(threshold=1))
+        np.testing.assert_allclose(np.asarray(out_exact), np.asarray(out_flash),
+                                   rtol=1e-4, atol=1e-4)

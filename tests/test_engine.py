@@ -1,0 +1,192 @@
+"""End-to-end engine tests: full train() runs on a synthetic TID-like dataset
+(SURVEY.md §4: "end-to-end SROCC parity" scaffolding, here at toy scale)."""
+
+import os
+from copy import deepcopy
+
+import numpy as np
+import pytest
+
+from test_datasets import make_tid, write_img, H, W
+
+from vtamiq_tpu.data.datasets import TID2013Dataset
+from vtamiq_tpu.train import config as C
+from vtamiq_tpu.train import engine
+from vtamiq_tpu.train.run_multi import parse_runs
+from vtamiq_tpu.ops.correlations import SROCC_FIELD, PLCC_FIELD
+
+
+@pytest.fixture
+def config_sandbox():
+    """Snapshot + restore the module-level config dicts around each test."""
+    snaps = {}
+    for name in ("global_config", "vit_config", "vtamiq_config",
+                 "pretraining_config", "freeze_config", "dataset_config_base",
+                 "dataset_split_config_base", "dataloader_config_base"):
+        snaps[name] = deepcopy(getattr(C, name))
+    registry_snap = dict(C._DATASET_REGISTRY)
+    yield C
+    for name, value in snaps.items():
+        target = getattr(C, name)
+        target.clear()
+        target.update(value)
+    C._DATASET_REGISTRY.clear()
+    C._DATASET_REGISTRY.update(registry_snap)
+
+
+def setup_tiny_run(C, tmp_path, num_ref=5, num_dist=4):
+    """Point the TID2013 registry entry at a tiny synthetic dataset and scale
+    the model/loader config down for CPU."""
+    root = str(tmp_path)
+    make_tid(root, num_ref=num_ref, num_dist=num_dist)  # writes files
+
+    class TinyTID(TID2013Dataset):
+        num_ref_images = num_ref
+        num_dist_images = num_dist
+
+        def __init__(self, **kwargs):
+            kwargs.setdefault("datasets_root", root)
+            super().__init__(**kwargs)
+
+    split_cfg = C.setup_split_config(3, (3, 4), (4, 5))
+    C._DATASET_REGISTRY[C.DATASET_TID2013] = (TinyTID, split_cfg)
+
+    g = C.global_config
+    g["dataset"] = C.DATASET_TID2013
+    g["output_dir"] = os.path.join(root, "output")
+    g["num_epochs"] = 2
+    g["num_repeats_test"] = 2
+    g["compute_dtype"] = "float32"
+    g["config_validated"] = False
+
+    C.vit_config.update(num_keep_layers=1, num_extra_tokens=2,
+                        hidden_size=32, mlp_dim=64, num_heads=2)
+    C.vtamiq_config.update(num_rgs=1, num_rcabs=1, ca_reduction=4)
+
+    C.dataloader_config_base[C.DATALOADER_PARAMS][C.USE_DEFAULT_PARAMS] = True
+    for split in (C.SPLIT_NAME_TRAIN, C.SPLIT_NAME_VAL, C.SPLIT_NAME_TEST):
+        C.dataloader_config_base[split][C.BATCH_SIZE] = 4
+        C.dataloader_config_base[split][C.PATCH_COUNT] = 16
+
+
+class TestValidateConfigs:
+    def test_derives_patch_dim(self, config_sandbox):
+        C = config_sandbox
+        C.validate_configs()
+        assert C.dataset_config_base["patch_dim"] == 16
+        assert C.global_config["config_validated"]
+
+    def test_b8_patch_dim(self, config_sandbox):
+        C = config_sandbox
+        C.vit_config["variant"] = "ViT-B8"
+        C.validate_configs()
+        assert C.dataset_config_base["patch_dim"] == 8
+
+    def test_scale_mismatch_raises(self, config_sandbox):
+        C = config_sandbox
+        C.vit_config["num_scales"] = 3
+        C.dataset_config_base["patch_num_scales"] = 1
+        with pytest.raises(ValueError):
+            C.validate_configs()
+
+    def test_vtamiq_batch_patch_override(self, config_sandbox):
+        C = config_sandbox
+        C.validate_configs()
+        assert C.dataloader_config_base[C.SPLIT_NAME_TRAIN][C.PATCH_COUNT] == 384
+        assert C.dataloader_config_base[C.SPLIT_NAME_TEST][C.PATCH_COUNT] == 512
+
+    def test_factory_requires_validation(self, config_sandbox):
+        C = config_sandbox
+        with pytest.raises(RuntimeError):
+            C.get_dataset_configs(C.DATASET_TID2013)
+
+    def test_kadis_random_split_asserts(self, config_sandbox):
+        C = config_sandbox
+        C.global_config["dataset"] = C.DATASET_KADIS700K
+        C.dataset_split_config_base["split_type"] = C.SPLIT_TYPE_RANDOM
+        with pytest.raises(AssertionError):
+            C.validate_configs()
+
+
+class TestEngineEndToEnd:
+    def test_full_train_val_test(self, config_sandbox, tmp_path):
+        C = config_sandbox
+        setup_tiny_run(C, tmp_path)
+        g = C.global_config
+        g["do_train"] = True
+        g["do_val"] = True
+        g["do_test"] = True
+        g["seed"] = 7
+
+        correlations = engine.train()
+        assert correlations is not None
+        assert -1.0 <= correlations[SROCC_FIELD] <= 1.0
+        assert np.isfinite(correlations[PLCC_FIELD])
+
+        out_dir = g["output_dir_final"]
+        assert os.path.isfile(os.path.join(out_dir, "latest.npz"))
+        assert os.path.isfile(os.path.join(out_dir, "best.npz"))
+        assert os.path.isfile(os.path.join(out_dir, "config.yaml"))
+        assert os.path.isfile(os.path.join(out_dir, "output.txt"))
+        assert os.path.isfile(os.path.join(out_dir, "output_qs.txt"))
+        assert os.path.isdir(os.path.join(out_dir, "source_code"))
+
+    def test_debug_train_writes_nothing(self, config_sandbox, tmp_path):
+        C = config_sandbox
+        setup_tiny_run(C, tmp_path)
+        g = C.global_config
+        g["is_debug"] = True
+        g["do_train"] = True
+        g["do_val"] = False
+        g["do_test"] = True  # debug+train+test is allowed; test reuses in-memory params
+        g["num_epochs"] = 1
+        g["seed"] = 3
+
+        correlations = engine.train()
+        assert correlations is not None
+        assert not os.path.isdir(g["output_dir_final"])
+
+    def test_test_only_uses_full_dataset_override(self, config_sandbox, tmp_path):
+        C = config_sandbox
+        setup_tiny_run(C, tmp_path)
+        g = C.global_config
+        g["do_train"] = False
+        g["do_val"] = False
+        g["do_test"] = True
+        g["allow_use_full_dataset"] = True
+        g["seed"] = 3
+        correlations = engine.train()
+        # FULL dataset = 20 items scored (5 ref x 4 dist)
+        assert correlations is not None
+
+    def test_checkpoint_reload_roundtrip(self, config_sandbox, tmp_path):
+        C = config_sandbox
+        setup_tiny_run(C, tmp_path)
+        g = C.global_config
+        g["do_train"] = True
+        g["do_val"] = False
+        g["do_test"] = False
+        g["num_epochs"] = 1
+        g["seed"] = 11
+        engine.train()
+        ckpt = os.path.join(g["output_dir_final"], "latest.npz")
+        assert os.path.isfile(ckpt)
+
+        # reload as pretrained checkpoint for a test-only run
+        C.reset_configs_validation()
+        g["do_train"] = False
+        g["do_test"] = True
+        g["load_checkpoint_file"] = ckpt
+        correlations = engine.train()
+        assert correlations is not None
+
+
+class TestParseRuns:
+    def test_aggregation(self):
+        runs = [
+            {SROCC_FIELD: 0.9, "KROCC": 0.7, "PLCC": 0.91, "RMSE": 0.1},
+            {SROCC_FIELD: 0.8, "KROCC": 0.6, "PLCC": 0.81, "RMSE": 0.2},
+        ]
+        stats = parse_runs(runs, lambda *a, **k: None)
+        assert abs(stats[SROCC_FIELD]["mean"] - 0.85) < 1e-12
+        assert abs(stats["RMSE"]["std"] - 0.05) < 1e-12

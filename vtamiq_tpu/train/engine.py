@@ -1,0 +1,482 @@
+"""Training / evaluation engine: the ``train()`` orchestrator.
+
+Capability parity with the reference's ``train.py`` (train() L652-953,
+do_training L483-580, do_validation L583-644, get_model L138-190,
+save_checkpoint policy L222-251): the same phase gating (do_train/do_val/
+do_test), output-dir naming, freeze-until-epoch schedule, best/latest
+checkpoint policy driven by SROCC maxima, loss-weight decay, eval repeats
+with prediction averaging, TensorBoard-style scalar logging (including the
+reference's per-batch SROCC for batches > 4), and prediction dumps.
+
+TPU-first differences:
+- One fused jitted step does sampling -> extraction -> forward -> loss ->
+  update (vtamiq_tpu.train.steps); no AMP GradScaler (bf16 needs none,
+  SURVEY.md §2.5).
+- Freeze/unfreeze swaps a 0/1 gradient-mask pytree — no optimizer rebuild,
+  no retrace.
+- Optional (data, model) mesh: set global_config["mesh_data"/"mesh_model"].
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.checkpoint import (
+    save_checkpoint, load_checkpoint, merge_params, apply_pretraining_gates,
+    MODEL_STATE_DICT, PREF_MODULE_STATE_DICT,
+)
+from ..models.configs import VTAMIQConfig
+from ..models.preference import init_preference_params
+from ..models.vit import load_vit_npz
+from ..models.vtamiq import init_vtamiq_params
+from ..ops.correlations import (
+    compute_correlations_flat,
+    SROCC_FIELD, KROCC_FIELD, PLCC_FIELD, RMSE_FIELD,
+    PLCC_NOFIT_FIELD, RMSE_NOFIT_FIELD,
+)
+from ..ops.sampling import PatchSampler
+from ..parallel.mesh import make_mesh, shard_params, shard_batch
+from ..utils import (
+    Logger, FileLogger, log, log_warn, Max, SplitSummaryWriter,
+)
+from . import config as C
+from .optim import make_optimizer, build_freeze_mask
+from .steps import ExtractConfig, make_train_step, make_eval_step
+
+CHECKPOINT_EXT = "npz"
+
+
+# --------------------------------------------------------------------------
+# model construction / checkpoint IO
+# --------------------------------------------------------------------------
+
+def get_model_params(cfg: VTAMIQConfig, checkpoint_file: Optional[str] = None,
+                     force_load_pretrained: bool = False, seed: int = 0,
+                     use_pref_module: bool = False) -> Dict:
+    """Initialize VTAMIQ params; optionally load ImageNet ViT npz weights and
+    a framework checkpoint with pretraining gates (reference get_model,
+    train.py:138-190)."""
+    params = init_vtamiq_params(jax.random.PRNGKey(seed), cfg)
+
+    vit_npz = cfg.vit.vit_weights_path
+    if (C.pretraining_config["allow_pretrained_vit"] and vit_npz
+            and os.path.isfile(vit_npz)):
+        log(f"ViT: loading pretrained transformer weights from {vit_npz}")
+        params["vit"] = load_vit_npz(np.load(vit_npz), cfg.vit, params["vit"])
+    elif vit_npz:
+        log_warn(f"ViT weights path [{vit_npz}] not found; using random init.")
+
+    if use_pref_module:
+        params["pref_module"] = init_preference_params(**C.pref_module_config)
+
+    if checkpoint_file is not None:
+        log(f"Loading checkpoint file '{checkpoint_file}'")
+        ckpt = load_checkpoint(checkpoint_file)
+        state = ckpt.get(MODEL_STATE_DICT, {})
+        if not force_load_pretrained:
+            state = apply_pretraining_gates(
+                state,
+                allow_vit=C.pretraining_config["allow_pretrained_weights_vit"],
+                allow_diffnet=C.pretraining_config["allow_pretrained_weights_diffnet"],
+                log=log)
+        params = merge_params(params, state, strict=False, log=log)
+        if use_pref_module and PREF_MODULE_STATE_DICT in ckpt:
+            params["pref_module"] = merge_params(
+                params["pref_module"], ckpt[PREF_MODULE_STATE_DICT], log=log)
+    else:
+        log_warn("Model used without framework checkpoint weights.")
+    return params
+
+
+def _save(output_dir: str, filename: str, params: Dict, epoch: int, srocc: float,
+          opt_state=None):
+    models = {MODEL_STATE_DICT: {k: v for k, v in params.items() if k != "pref_module"}}
+    if "pref_module" in params:
+        models[PREF_MODULE_STATE_DICT] = params["pref_module"]
+    save_checkpoint(output_dir, filename, models, epoch, srocc,
+                    opt_state=opt_state if C.global_config["save_optimizer"] else None)
+
+
+# --------------------------------------------------------------------------
+# epoch loops
+# --------------------------------------------------------------------------
+
+def _batch_arrays(batch):
+    return (jnp.asarray(batch.imgs_raw), jnp.asarray(batch.imgs_norm),
+            jnp.asarray(batch.qs))
+
+
+def do_training(train_step, params, opt_state, mask, loader, key,
+                loss_weights, *, writer, logger, is_pairwise, is_debug,
+                output_dir, checkpoint_every_n_batches, epoch, step,
+                mesh=None):
+    """One training epoch; returns (params, opt_state, step, correlations)
+    (reference do_training, train.py:483-580)."""
+    q_vals, qp_vals = [], []
+    lw = jnp.asarray(loss_weights, jnp.float32)
+
+    for batch_i, batch in enumerate(loader):
+        key, sub = jax.random.split(key)
+        raw, norm, qs = _batch_arrays(batch)
+        if mesh is not None:
+            raw, norm, qs = shard_batch((raw, norm, qs), mesh)
+        if batch.qs.shape[0] < 2:
+            log_warn("Batch size < 2; skipping current batch.")
+            continue
+
+        params, opt_state, metrics, q_p = train_step(
+            params, opt_state, mask, raw, norm, qs, sub, lw)
+
+        v = batch.valid
+        q_vals.append(np.asarray(batch.qs[:v], float))
+        qp_vals.append(np.asarray(q_p, float)[:v])
+
+        if not is_debug and writer is not None:
+            if is_pairwise:
+                writer.add_scalar(C.SPLIT_NAME_TRAIN, "mae_loss",
+                                  float(metrics["loss"]), step)
+            else:
+                writer.add_scalar(C.SPLIT_NAME_TRAIN, "loss", float(metrics["loss"]), step)
+                writer.add_scalar(C.SPLIT_NAME_TRAIN, "mae_loss", float(metrics["mae"]), step)
+                writer.add_scalar(C.SPLIT_NAME_TRAIN, "rank_loss", float(metrics["rank"]), step)
+                writer.add_scalar(C.SPLIT_NAME_TRAIN, "pears_loss", float(metrics["pears"]), step)
+            if v > 4:  # correlations need enough points (reference train.py:546)
+                cors = compute_correlations_flat([q_vals[-1]], [qp_vals[-1]], warn=None)
+                writer.add_scalar(C.SPLIT_NAME_TRAIN, "SROCC_batch_s",
+                                  cors[SROCC_FIELD], step)
+
+        if not is_debug and (batch_i + 1) % checkpoint_every_n_batches == 0:
+            logger(f"Saving latest model during training: epoch=[{epoch}], "
+                   f"batch_i=[{batch_i}]")
+            _save(output_dir, f"latest.{CHECKPOINT_EXT}", params, epoch, -1, opt_state)
+
+        step += 1
+
+    correlations = compute_correlations_flat(q_vals, qp_vals, warn=log_warn)
+    if not is_debug and writer is not None:
+        _writer_log_correlations(writer, C.SPLIT_NAME_TRAIN, correlations, epoch)
+    return params, opt_state, step, correlations
+
+
+def do_validation(eval_step, params, loader, key, loss_weights, *,
+                  split_name, writer, logger, is_pairwise, is_debug,
+                  num_repeats=1, step=0, epoch=0, output_logger=None, tag="",
+                  mesh=None):
+    """Validation/test pass with patch-resampling repeats; predictions are
+    averaged across repeats (reference do_validation, train.py:583-644)."""
+    ys, yps = [], []
+    lw = jnp.asarray(loss_weights, jnp.float32)
+
+    for repeat in range(num_repeats):
+        for i, batch in enumerate(loader):
+            key, sub = jax.random.split(key)
+            raw, norm, qs = _batch_arrays(batch)
+            if mesh is not None:
+                raw, norm, qs = shard_batch((raw, norm, qs), mesh)
+            metrics, q_p = eval_step(params, raw, norm, qs, sub, lw)
+
+            v = batch.valid
+            ys.append(np.asarray(batch.qs[:v], float))
+            yps.append(np.asarray(q_p, float)[:v])
+
+            if writer is not None and not is_debug:
+                prefix = f"{tag}-" if tag else ""
+                writer.add_scalar(split_name, prefix + "loss", float(metrics["loss"]),
+                                  step, force_add=True)
+            if output_logger is not None:
+                output_logger(i, tag, ",".join(str(x) for x in yps[-1]))
+            step += 1
+
+    correlations = compute_correlations_flat(ys, yps, num_repeats, warn=log_warn) \
+        if ys else None
+    if writer is not None and not is_debug and correlations is not None:
+        _writer_log_correlations(writer, split_name, correlations, epoch, tag=tag)
+    return step, correlations
+
+
+def _writer_log_correlations(writer, split_name, correlations, step, tag=""):
+    prefix = f"{tag}-" if tag else ""
+    writer.add_scalar(split_name, prefix + SROCC_FIELD, correlations[SROCC_FIELD],
+                      step, force_add=True)
+    writer.add_scalar(split_name, prefix + KROCC_FIELD, correlations[KROCC_FIELD],
+                      step, force_add=True)
+    writer.add_scalar(split_name, prefix + PLCC_FIELD, correlations[PLCC_FIELD],
+                      step, force_add=True)
+    writer.add_scalar(split_name, prefix + RMSE_FIELD, correlations[RMSE_FIELD],
+                      step, force_add=True)
+
+
+# --------------------------------------------------------------------------
+# orchestrator
+# --------------------------------------------------------------------------
+
+def train():
+    """Full training/eval run driven by the config dicts; returns the test
+    correlations dict (reference train(), train.py:652-953)."""
+    C.validate_configs()
+    g = C.global_config
+
+    is_debug = g["is_debug"]
+    is_verbose = g["is_verbose"]
+    is_pairwise = C.dataset_is_pairwise(C.dataset_target())
+    do_train_ = g["do_train"]
+    do_val_ = g["do_val"]
+    do_test_ = g["do_test"]
+    is_test_only = not do_train_ and not do_val_ and do_test_
+    use_pref_module = g["use_pref_module"]
+
+    log(f"Current run with do_train={do_train_}, do_val={do_val_}, do_test={do_test_}.")
+    assert not (is_debug and is_test_only), "Debug mode disables saving; can't run test-only."
+    assert do_train_ or do_test_, "Run must have at least training or testing stage."
+    assert not (not do_train_ and do_val_), "Validation requires training."
+
+    cfg = C.build_model_config()
+    checkpoint_file = g["load_checkpoint_file"]
+
+    seed = g["seed"]
+    if seed == -1:
+        seed = int(time.time()) % (2 ** 31)
+    np.random.seed(seed)
+    key = jax.random.PRNGKey(seed)
+
+    params = get_model_params(cfg, checkpoint_file, seed=seed,
+                              use_pref_module=use_pref_module)
+
+    # output dir naming (reference train.py:680-731)
+    output_dir = g["output_dir"] + "/{}".format(int(time.time()))
+    output_dir += "-" + C.dataset_target() + "-" + g["model"]
+    output_dir += "-{}-{}L-{}R".format(cfg.vit.variant, cfg.vit.effective_num_layers,
+                                       C.vtamiq_config["num_rcabs"])
+    if is_test_only:
+        output_dir += "-TESTSET-" + str(C.dataloader_config_base[C.SPLIT_NAME_TEST][C.PATCH_COUNT])
+    else:
+        output_dir += "-{}e-{}b-{}p".format(
+            g["num_epochs"],
+            C.dataloader_config_base[C.SPLIT_NAME_TRAIN][C.BATCH_SIZE],
+            C.dataloader_config_base[C.SPLIT_NAME_TRAIN][C.PATCH_COUNT])
+    if use_pref_module:
+        output_dir += "-pref"
+
+    # freeze schedule (reference train.py:707-726)
+    allow_freeze = C.freeze_config["freeze_vtamiq"]
+    freeze_model = not is_test_only and (
+        allow_freeze or
+        (C.freeze_config["freeze_conditional"] and
+         (checkpoint_file is None or C.dataset_target() not in str(checkpoint_file))))
+    freeze_end_after_epochs = C.freeze_config["freeze_end_after_epochs"][C.dataset_target()]
+    if freeze_model:
+        output_dir += "-frz"
+    if g["output_tag"]:
+        output_dir += f"-{g['output_tag']}"
+    g["output_dir_final"] = output_dir
+
+    save_val_outputs = g["save_val_outputs"] and not is_debug
+    save_test_outputs = g["save_test_outputs"] and not is_debug
+    output_qs_path = output_dir + "/" + g["save_test_outputs_txt"]
+    val_logger = FileLogger(output_qs_path if save_val_outputs else None, verbose=False)
+    test_logger = FileLogger(output_qs_path if save_test_outputs else None, verbose=False)
+
+    if is_debug:
+        logger_run = Logger(verbose=is_verbose)
+        writer = None
+    else:
+        os.makedirs(output_dir, exist_ok=True)
+        logger_run = FileLogger(f"{output_dir}/{g['output_txt']}", verbose=is_verbose)
+        writer = SplitSummaryWriter(logdir=output_dir,
+                                    log_every_n_steps=g["tensorlog_every_n_steps"])
+        logger_run(f"tensorboard --logdir='{output_dir}'")
+
+    if (do_val_ or do_test_) and not do_train_:
+        g["num_epochs"] = 1
+
+    # loaders (full-dataset override: reference train.py:769-773)
+    train_xor = (do_train_ ^ do_val_ ^ do_test_) and not (do_train_ and do_val_ and do_test_)
+    use_full_dataset = train_xor and g["allow_use_full_dataset"]
+    loader_train, loader_val, loader_test, _factory = C.get_dataloaders(
+        use_full_dataset=use_full_dataset)
+
+    checkpoint_every_n_batches = g["checkpoint_every_n_batches"]
+    if checkpoint_every_n_batches <= 0:
+        checkpoint_every_n_batches = 999999999999
+
+    # mesh (optional multi-chip)
+    mesh = None
+    if g["mesh_data"] * g["mesh_model"] > 1:
+        mesh = make_mesh(data=g["mesh_data"], model=g["mesh_model"])
+        log(f"Using device mesh: data={g['mesh_data']} model={g['mesh_model']}")
+
+    compute_dtype = jnp.bfloat16 if g["compute_dtype"] == "bfloat16" else jnp.float32
+    sampler = PatchSampler(**C.dataset_config_base["patch_sampler_config"])
+
+    def make_ecfg(split):
+        return ExtractConfig(
+            patch_count=C.dataloader_config_base[split][C.PATCH_COUNT],
+            patch_dim=C.dataset_config_base["patch_dim"],
+            patch_num_scales=C.dataset_config_base["patch_num_scales"],
+            scale_num_samples_ratio=C.dataset_config_base["patch_sampling_num_scales_ratio"],
+            use_aligned_patches=bool(
+                C.dataloader_config_base[split][C.USE_ALIGNED_PATCHES]))
+
+    steps_per_epoch = len(loader_train) if loader_train is not None else 1
+    optimizer, _sched = make_optimizer(g, steps_per_epoch)
+    opt_state = optimizer.init(params)
+
+    train_step = eval_step_val = eval_step_test = None
+    if do_train_:
+        train_step = make_train_step(
+            cfg, sampler, make_ecfg(C.SPLIT_NAME_TRAIN), optimizer,
+            is_pairwise=is_pairwise, use_pref_module=use_pref_module,
+            weighted_loss=g["use_weighted_loss"], compute_dtype=compute_dtype,
+            mesh=mesh)
+        if mesh is not None:
+            mask_t = build_freeze_mask(params, False, None)
+            train_step = train_step(params, opt_state, mask_t)
+    if do_val_:
+        eval_step_val = make_eval_step(
+            cfg, sampler, make_ecfg(C.SPLIT_NAME_VAL), is_pairwise=is_pairwise,
+            use_pref_module=use_pref_module, weighted_loss=g["use_weighted_loss"],
+            compute_dtype=compute_dtype, mesh=mesh)
+        if mesh is not None:
+            eval_step_val = eval_step_val(params)
+    if do_test_:
+        eval_step_test = make_eval_step(
+            cfg, sampler, make_ecfg(C.SPLIT_NAME_TEST), is_pairwise=is_pairwise,
+            use_pref_module=use_pref_module, weighted_loss=g["use_weighted_loss"],
+            compute_dtype=compute_dtype, mesh=mesh)
+        if mesh is not None:
+            eval_step_test = eval_step_test(params)
+
+    # freeze state
+    frozen_model = False
+    mask = build_freeze_mask(params, False, None)
+    if freeze_model:
+        logger_run("Model freezing params...")
+        frozen_model = True
+        mask = build_freeze_mask(params, True, C.freeze_dict_vtamiq)
+
+    if mesh is not None:
+        params = shard_params(params, mesh)
+
+    logger_run("Configuration completed.")
+
+    w_mae = g["weight_mae_loss"]
+    w_rank = g["weight_rank_loss"]
+    w_pears = g["weight_pears_loss"]
+
+    best_spearman_train = Max()
+    best_spearman_val = Max()
+    best_spearman = -1.0
+
+    correlations = None
+    global_step_train = 0
+    global_step_val = 0
+
+    if not is_debug:
+        C.save_configs(output_dir)
+        C.save_code(output_dir)
+
+    for epoch in range(1, g["num_epochs"] + 1):
+        logger_run("Beginning epoch {:03d}".format(epoch))
+
+        if frozen_model and freeze_end_after_epochs < epoch:
+            logger_run("VTAMIQ: Unfreezing params...")
+            mask = build_freeze_mask(params, False, None)
+            frozen_model = False
+
+        is_best_so_far = False
+
+        if do_train_:
+            log("Starting Training loop...")
+            key, sub = jax.random.split(key)
+            params, opt_state, global_step_train, correlations = do_training(
+                train_step, params, opt_state, mask, loader_train, sub,
+                (w_mae, w_rank, w_pears), writer=writer, logger=logger_run,
+                is_pairwise=is_pairwise, is_debug=is_debug,
+                output_dir=output_dir,
+                checkpoint_every_n_batches=checkpoint_every_n_batches,
+                epoch=epoch, step=global_step_train, mesh=mesh)
+
+            is_best_so_far = best_spearman_train.add(correlations[SROCC_FIELD])
+            if is_best_so_far:
+                best_spearman = best_spearman_train.value()
+                logger_run(f"Best training SROCC {correlations[SROCC_FIELD]}!")
+            else:
+                logger_run(f"Current training SROCC {correlations[SROCC_FIELD]} "
+                           f"(best={best_spearman_train.value()}).")
+            if not is_debug and g["train_save_latest"]:
+                logger_run(f"Saving latest model: epoch=[{epoch}], "
+                           f"SROCC=[{correlations[SROCC_FIELD]}]")
+                _save(output_dir, f"latest.{CHECKPOINT_EXT}", params, epoch,
+                      correlations[SROCC_FIELD], opt_state)
+
+        if do_val_:
+            log("Starting Validation loop...")
+            key, sub = jax.random.split(key)
+            global_step_val, correlations = do_validation(
+                eval_step_val, params, loader_val, sub, (w_mae, w_rank, w_pears),
+                split_name=C.SPLIT_NAME_VAL, writer=writer, logger=logger_run,
+                is_pairwise=is_pairwise, is_debug=is_debug,
+                num_repeats=g["num_repeats_val"], step=global_step_val,
+                epoch=epoch, output_logger=val_logger, tag="val", mesh=mesh)
+
+            is_best_so_far = best_spearman_val.add(correlations[SROCC_FIELD])
+            if is_best_so_far:
+                best_spearman = best_spearman_val.value()
+                logger_run(f"Best validation SROCC {correlations[SROCC_FIELD]}!")
+            else:
+                logger_run(f"Current validation SROCC {correlations[SROCC_FIELD]} "
+                           f"(best={best_spearman_val.value()}).")
+
+        if not is_test_only:
+            logger_run(f"Completed epoch {epoch}")
+            if is_best_so_far:
+                logger_run(f"Best SROCC {best_spearman}!")
+                if not is_debug:
+                    logger_run(f"Saving best model: epoch=[{epoch}], SROCC=[{best_spearman}]")
+                    _save(output_dir, f"best.{CHECKPOINT_EXT}", params, epoch,
+                          best_spearman, opt_state)
+            elif correlations is not None:
+                logger_run(f"Current SROCC {correlations[SROCC_FIELD]}.")
+
+        # loss-weight decay (reference train.py:899-901)
+        w_mae *= g["weight_mae_loss_decay"]
+        w_rank *= g["weight_rank_loss_decay"]
+        w_pears *= g["weight_pears_loss_decay"]
+
+    if do_test_:
+        log("Doing Test.")
+        if do_train_ and not is_debug:
+            saved = "{}/{}.{}".format(
+                output_dir,
+                "latest" if (g["test_use_latest"] and g["train_save_latest"]) else "best",
+                CHECKPOINT_EXT)
+            params = get_model_params(cfg, saved, force_load_pretrained=True,
+                                      seed=seed, use_pref_module=use_pref_module)
+            if mesh is not None:
+                params = shard_params(params, mesh)
+
+        key, sub = jax.random.split(key)
+        _, correlations = do_validation(
+            eval_step_test, params, loader_test, sub, (w_mae, w_rank, w_pears),
+            split_name=C.SPLIT_NAME_TEST, writer=writer, logger=logger_run,
+            is_pairwise=is_pairwise, is_debug=is_debug,
+            num_repeats=g["num_repeats_test"], output_logger=test_logger,
+            tag="test", mesh=mesh)
+
+        if correlations is not None:
+            logger_run(
+                "Test stats:\n" +
+                "".join(f"{f}={correlations[f]}\n" for f in (
+                    SROCC_FIELD, KROCC_FIELD, PLCC_FIELD, RMSE_FIELD,
+                    PLCC_NOFIT_FIELD, RMSE_NOFIT_FIELD)))
+
+    if not is_debug and writer is not None:
+        writer.close()
+
+    return correlations
