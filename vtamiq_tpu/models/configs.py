@@ -98,3 +98,5 @@ class VTAMIQConfig:
     rg_path_drop: float = 0.1    # DropPath on RG residuals (active, unlike ViT)
     predictor_dropout: float = 0.1
     token_num: int = 0           # which token feeds the head (0 = CLS)
+    use_ms_cam: bool = False     # MS-CAM channel attention instead of CALayer
+    use_local: bool = False      # enable the local branch in MS-CAM/AFF

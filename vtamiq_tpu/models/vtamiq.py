@@ -47,23 +47,54 @@ def init_calayer(key, dim: int, reduction: int) -> Dict:
     return {"down": _linear_init(k1, dim, hidden), "up": _linear_init(k2, hidden, dim)}
 
 
-def init_rcab(key, dim: int, reduction: int) -> Dict:
-    """Residual channel-attention block: x + CA(conv(PReLU(x)))
-    (channel_attention.py:34-50, use_bn=False, input1d)."""
+def init_ms_cam(key, dim: int, reduction: int, use_local: bool) -> Dict:
+    """MS-CAM: global (pooled) + optional local channel-attention branches
+    (channel_attention.py:96-126, AFF/MS_CAM). Over a length-1 feature
+    sequence the pool is the identity, so both branches are dense stacks."""
     k1, k2 = jax.random.split(key)
-    return {
+    params = {"global": init_calayer(k1, dim, reduction)}
+    if use_local:
+        params["local"] = init_calayer(k2, dim, reduction)
+    return params
+
+
+def init_rcab(key, dim: int, reduction: int, use_ms_cam: bool = False,
+              use_local: bool = False) -> Dict:
+    """Residual channel-attention block: x + CA(conv(PReLU(x)))
+    (channel_attention.py:34-50, use_bn=False, input1d). ChannelAttn is
+    CALayer by default, MS-CAM when use_ms_cam (channel_attention.py:40)."""
+    k1, k2 = jax.random.split(key)
+    params = {
         "prelu": _prelu_init(),
         "conv": _linear_init(k1, dim, dim),
-        "ca": init_calayer(k2, dim, reduction),
     }
+    if use_ms_cam:
+        params["ms_cam"] = init_ms_cam(k2, dim, reduction, use_local)
+    else:
+        params["ca"] = init_calayer(k2, dim, reduction)
+    return params
 
 
-def init_residual_group(key, dim: int, num_rcabs: int, reduction: int) -> Dict:
+def init_residual_group(key, dim: int, num_rcabs: int, reduction: int,
+                        use_ms_cam: bool = False, use_local: bool = False) -> Dict:
     keys = jax.random.split(key, num_rcabs + 1)
     return {
-        "rcabs": {f"rcab_{i}": init_rcab(keys[i], dim, reduction) for i in range(num_rcabs)},
+        "rcabs": {f"rcab_{i}": init_rcab(keys[i], dim, reduction, use_ms_cam, use_local)
+                  for i in range(num_rcabs)},
         "conv": _linear_init(keys[-1], dim, dim),
     }
+
+
+def init_aff(key, dim: int, reduction: int = 2, use_local: bool = True) -> Dict:
+    """Attentional Feature Fusion (channel_attention.py:96-114)."""
+    return init_ms_cam(key, dim, reduction, use_local)
+
+
+def init_iaff(key, dim: int, reduction: int = 2, use_local: bool = True) -> Dict:
+    """Iterative AFF (channel_attention.py:131-142)."""
+    k1, k2 = jax.random.split(key)
+    return {"aff": init_aff(k1, dim, reduction, use_local),
+            "ms_cam": init_ms_cam(k2, dim, reduction, use_local)}
 
 
 def init_vtamiq_params(key, cfg: VTAMIQConfig) -> Dict:
@@ -77,7 +108,9 @@ def init_vtamiq_params(key, cfg: VTAMIQConfig) -> Dict:
     if cfg.calibrate:
         params["quality_decoder"] = {
             "rgs": {
-                f"rg_{i}": init_residual_group(keys[1 + i], h, cfg.num_rcabs, cfg.ca_reduction)
+                f"rg_{i}": init_residual_group(keys[1 + i], h, cfg.num_rcabs,
+                                               cfg.ca_reduction, cfg.use_ms_cam,
+                                               cfg.use_local)
                 for i in range(cfg.num_rgs)
             },
             "conv": _linear_init(keys[1 + cfg.num_rgs], h, h),
@@ -105,9 +138,42 @@ def calayer(params, x):
     return x * jax.nn.sigmoid(w)
 
 
+def _branch(params, x):
+    return dense(params["up"], jax.nn.relu(dense(params["down"], x)))
+
+
+def ms_cam_weight(params, x):
+    """MS-CAM attention weight: sigmoid(local(x) + global(x))
+    (channel_attention.py:121-126)."""
+    w = _branch(params["global"], x)
+    if "local" in params:
+        w = w + _branch(params["local"], x)
+    return jax.nn.sigmoid(w)
+
+
+def ms_cam(params, x):
+    return x * ms_cam_weight(params, x)
+
+
+def aff(params, x, y):
+    """Attentional Feature Fusion: lerp(x, y, w(x+y))
+    (channel_attention.py:109-114)."""
+    w = ms_cam_weight(params, x + y)
+    return x + w * (y - x)
+
+
+def iaff(params, x, y):
+    """Iterative AFF: fuse, re-weight, lerp (channel_attention.py:137-142)."""
+    xi = aff(params["aff"], x, y)
+    w = ms_cam_weight(params["ms_cam"], xi)
+    return x + w * (y - x)
+
+
 def rcab(params, x):
     h = prelu(params["prelu"].astype(x.dtype), x)
     h = dense(params["conv"], h)
+    if "ms_cam" in params:
+        return x + ms_cam(params["ms_cam"], h)
     return x + calayer(params["ca"], h)
 
 

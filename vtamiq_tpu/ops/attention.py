@@ -35,6 +35,10 @@ NEG_INF = -1e30
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 512
 
+# patch counts past this use flash attention (below it, XLA's fused full
+# attention is faster and the quadratic logits easily fit)
+FLASH_ATTENTION_THRESHOLD = 2048
+
 
 # --------------------------------------------------------------------------
 # pure-XLA blockwise attention (reference semantics; O(S * BK) memory)

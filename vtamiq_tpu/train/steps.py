@@ -26,6 +26,7 @@ import optax
 from ..models.configs import VTAMIQConfig
 from ..models.vtamiq import vtamiq_forward
 from ..models.preference import preference_forward, preference_sigmoid
+from ..ops.attention import make_attention_fn, FLASH_ATTENTION_THRESHOLD
 from ..ops.extraction import get_iqa_patches
 from ..ops.losses import loss_func_iqa, loss_func_pairwise
 from ..ops.sampling import PatchSampler, DEFAULT_NUM_SAMPLES_RATIO
@@ -67,7 +68,7 @@ def make_extract_fn(sampler: PatchSampler, ecfg: ExtractConfig) -> Callable:
 
 def _forward_scores(params, cfg: VTAMIQConfig, patches, pos, scales,
                     is_pairwise: bool, use_pref_module: bool,
-                    train: bool, rng, compute_dtype):
+                    train: bool, rng, compute_dtype, attention_fn=None):
     """(B, K, N, ...) patches -> predictions.
 
     FR (K=2): q scores. Pairwise (K=3: ref, distA, distB): preference probs —
@@ -75,7 +76,8 @@ def _forward_scores(params, cfg: VTAMIQConfig, patches, pos, scales,
     (reference runs two separate passes, train.py:282-301)."""
     if not is_pairwise:
         q = vtamiq_forward(params, cfg, patches, pos, scales, train=train,
-                           rng=rng, compute_dtype=compute_dtype)
+                           rng=rng, compute_dtype=compute_dtype,
+                           attention_fn=attention_fn)
         return q
 
     ref_p, d1_p, d2_p = patches[:, 0], patches[:, 1], patches[:, 2]
@@ -91,7 +93,8 @@ def _forward_scores(params, cfg: VTAMIQConfig, patches, pos, scales,
             jnp.stack([r, s1], axis=1), jnp.stack([r, s2], axis=1)], axis=0)
 
     q_all = vtamiq_forward(params, cfg, pair_patches, pair_pos, pair_scales,
-                           train=train, rng=rng, compute_dtype=compute_dtype)
+                           train=train, rng=rng, compute_dtype=compute_dtype,
+                           attention_fn=attention_fn)
     b = patches.shape[0]
     q1, q2 = q_all[:b], q_all[b:]
     if use_pref_module:
@@ -111,8 +114,11 @@ def make_train_step(cfg: VTAMIQConfig, sampler: PatchSampler, ecfg: ExtractConfi
 
     ``mask`` is the 0/1 freeze mask (data, not static — unfreeze never
     retraces). ``loss_weights`` = (w_mae, w_rank, w_pears) traced scalars.
+    Long patch sequences automatically use the Pallas flash-attention kernel.
     """
     extract = make_extract_fn(sampler, ecfg)
+    attention_fn = (make_attention_fn()
+                    if ecfg.patch_count >= FLASH_ATTENTION_THRESHOLD else None)
 
     def step(params, opt_state, mask, imgs_raw, imgs_norm, qs, key, loss_weights):
         key_sample, key_model = jax.random.split(key)
@@ -120,7 +126,8 @@ def make_train_step(cfg: VTAMIQConfig, sampler: PatchSampler, ecfg: ExtractConfi
 
         def loss_fn(p):
             q_p = _forward_scores(p, cfg, patches, pos, scales, is_pairwise,
-                                  use_pref_module, True, key_model, compute_dtype)
+                                  use_pref_module, True, key_model, compute_dtype,
+                                  attention_fn)
             if is_pairwise:
                 loss = loss_func_pairwise(q_p, qs)
                 aux = {"mae": loss, "rank": jnp.zeros(()), "pears": jnp.zeros(())}
@@ -175,11 +182,14 @@ def make_eval_step(cfg: VTAMIQConfig, sampler: PatchSampler, ecfg: ExtractConfig
     -> (metrics, q_pred). No dropout/droppath; patches re-sampled per call
     (eval repeats average predictions downstream, train.py:398-409)."""
     extract = make_extract_fn(sampler, ecfg)
+    attention_fn = (make_attention_fn()
+                    if ecfg.patch_count >= FLASH_ATTENTION_THRESHOLD else None)
 
     def step(params, imgs_raw, imgs_norm, qs, key, loss_weights):
         patches, pos, scales = extract(imgs_raw, imgs_norm, key)
         q_p = _forward_scores(params, cfg, patches, pos, scales, is_pairwise,
-                              use_pref_module, False, None, compute_dtype)
+                              use_pref_module, False, None, compute_dtype,
+                              attention_fn)
         if is_pairwise:
             loss = loss_func_pairwise(q_p, qs)
             aux = {"mae": loss, "rank": jnp.zeros(()), "pears": jnp.zeros(())}

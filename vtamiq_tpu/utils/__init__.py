@@ -2,6 +2,9 @@ from .logging import Logger, FileLogger, log, log_warn, LogOnTaskComplete
 from .accumulators import Mean, Max
 from .timer import Timer
 from .writer import SplitSummaryWriter
+from .seeding import TemporaryNumpySeed, fold_seed
+from .profiling import StepTimer, trace
+from .iterators import looping_iterator, color_iterator, batched
 
 
 def check_unused_kwargs(owner_name: str, **kwargs):
