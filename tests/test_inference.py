@@ -1,0 +1,67 @@
+"""Tests for the high-level inference API."""
+
+import numpy as np
+import jax
+import pytest
+
+from vtamiq_tpu.inference import VTAMIQScorer, score_pair
+from vtamiq_tpu.models.configs import get_vit_config, VTAMIQConfig
+from vtamiq_tpu.models.checkpoint import save_checkpoint, MODEL_STATE_DICT
+from vtamiq_tpu.models.vtamiq import init_vtamiq_params
+
+SMALL_CFG = VTAMIQConfig(vit=get_vit_config(num_keep_layers=1, num_extra_tokens=2,
+                                            hidden_size=32, mlp_dim=64, num_heads=2),
+                         num_rgs=1, num_rcabs=1, ca_reduction=4)
+
+
+def imgs(seed=0, h=64, w=64):
+    rng = np.random.default_rng(seed)
+    ref = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+    dist = np.clip(ref + rng.normal(0, 0.1, ref.shape).astype(np.float32), 0, 1)
+    return ref, dist
+
+
+class TestScorer:
+    def test_score_pair_scalar(self):
+        scorer = VTAMIQScorer(cfg=SMALL_CFG, patch_count=16)
+        ref, dist = imgs()
+        q = scorer.score_pair(ref, dist)
+        assert isinstance(q, float) and np.isfinite(q)
+
+    def test_batch_and_pipeline_cache(self):
+        scorer = VTAMIQScorer(cfg=SMALL_CFG, patch_count=16)
+        ref, dist = imgs()
+        qs = scorer.score_batch([ref, ref], [dist, ref])
+        assert qs.shape == (2,)
+        assert len(scorer._pipelines) == 1
+        scorer.score_batch([ref], [dist])  # new batch size -> new pipeline
+        assert len(scorer._pipelines) == 2
+
+    def test_repeats_average(self):
+        scorer1 = VTAMIQScorer(cfg=SMALL_CFG, patch_count=16, num_repeats=1, seed=0)
+        scorer4 = VTAMIQScorer(cfg=SMALL_CFG, patch_count=16, num_repeats=4, seed=0)
+        ref, dist = imgs(2)
+        q1 = scorer1.score_pair(ref, dist)
+        q4 = scorer4.score_pair(ref, dist)
+        assert np.isfinite(q1) and np.isfinite(q4)
+
+    def test_from_checkpoint(self, tmp_path):
+        params = init_vtamiq_params(jax.random.PRNGKey(1), SMALL_CFG)
+        save_checkpoint(str(tmp_path), "best.npz", {MODEL_STATE_DICT: params},
+                        epoch=3, srocc=0.91)
+        scorer = VTAMIQScorer.from_checkpoint(str(tmp_path / "best.npz"),
+                                              cfg=SMALL_CFG, patch_count=16)
+        np.testing.assert_allclose(
+            np.asarray(scorer.params["q_predictor"]["fc1"]["kernel"]),
+            np.asarray(params["q_predictor"]["fc1"]["kernel"]))
+
+    def test_mismatched_lengths_raise(self):
+        scorer = VTAMIQScorer(cfg=SMALL_CFG, patch_count=16)
+        ref, dist = imgs()
+        with pytest.raises(ValueError):
+            scorer.score_batch([ref], [dist, dist])
+
+    def test_functional_api(self):
+        ref, dist = imgs(3)
+        q = score_pair(ref, dist, cfg=SMALL_CFG, patch_count=16)
+        assert np.isfinite(q)

@@ -1,0 +1,128 @@
+"""High-level inference API: score image pairs without touching the trainer.
+
+The "run_custom single ref/dist pair" user path (BASELINE.json config #1),
+as a library call. Handles model construction, optional checkpoint / ViT-npz
+loading, and caches one compiled pipeline per (H, W, batch) bucket.
+
+Example:
+    scorer = VTAMIQScorer.from_checkpoint("best.npz")
+    q = scorer.score_pair(ref_rgb, dist_rgb)            # numpy HWC in [0,1]
+    qs = scorer.score_batch(refs, dists)                # lists of same-size images
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.checkpoint import load_checkpoint, merge_params, MODEL_STATE_DICT
+from .models.configs import get_vit_config, VTAMIQConfig
+from .models.vit import load_vit_npz
+from .models.vtamiq import init_vtamiq_params, vtamiq_forward
+from .ops.attention import make_attention_fn, FLASH_ATTENTION_THRESHOLD
+from .ops.sampling import PatchSampler
+from .train.steps import ExtractConfig, make_extract_fn
+
+DEFAULT_NORM_MEAN = 0.5
+DEFAULT_NORM_STD = 0.5
+
+
+class VTAMIQScorer:
+    """Stateful convenience wrapper around the jitted scoring pipeline."""
+
+    def __init__(self, cfg: Optional[VTAMIQConfig] = None,
+                 params: Optional[Dict] = None,
+                 patch_count: int = 500,
+                 patch_num_scales: int = 1,
+                 num_repeats: int = 1,
+                 sampler: Optional[PatchSampler] = None,
+                 seed: int = 0):
+        if cfg is None:
+            cfg = VTAMIQConfig(vit=get_vit_config(num_keep_layers=6, num_extra_tokens=8))
+        self.cfg = cfg
+        self.params = params if params is not None else init_vtamiq_params(
+            jax.random.PRNGKey(seed), cfg)
+        self.patch_count = patch_count
+        self.patch_num_scales = patch_num_scales
+        self.num_repeats = max(1, num_repeats)
+        self.sampler = sampler if sampler is not None else PatchSampler()
+        self._key = jax.random.PRNGKey(seed)
+        self._pipelines = {}
+
+    # -- constructors --------------------------------------------------------
+
+    @classmethod
+    def from_checkpoint(cls, checkpoint_path: str, cfg: Optional[VTAMIQConfig] = None,
+                        **kwargs) -> "VTAMIQScorer":
+        scorer = cls(cfg=cfg, **kwargs)
+        ckpt = load_checkpoint(checkpoint_path)
+        scorer.params = merge_params(scorer.params, ckpt.get(MODEL_STATE_DICT, {}))
+        return scorer
+
+    @classmethod
+    def from_vit_npz(cls, npz_path: str, cfg: Optional[VTAMIQConfig] = None,
+                     **kwargs) -> "VTAMIQScorer":
+        scorer = cls(cfg=cfg, **kwargs)
+        scorer.params["vit"] = load_vit_npz(np.load(npz_path), scorer.cfg.vit,
+                                            scorer.params["vit"])
+        return scorer
+
+    # -- scoring --------------------------------------------------------------
+
+    def _pipeline(self, batch: int, h: int, w: int):
+        key = (batch, h, w)
+        if key in self._pipelines:
+            return self._pipelines[key]
+
+        ecfg = ExtractConfig(patch_count=self.patch_count,
+                             patch_dim=self.cfg.vit.patch_size,
+                             patch_num_scales=self.patch_num_scales)
+        extract = make_extract_fn(self.sampler, ecfg)
+        attn = (make_attention_fn()
+                if self.patch_count >= FLASH_ATTENTION_THRESHOLD else None)
+        cfg = self.cfg
+
+        @jax.jit
+        def pipeline(params, raw, norm, rng):
+            patches, pos, scales = extract(raw, norm, rng)
+            return vtamiq_forward(params, cfg, patches, pos, scales,
+                                  attention_fn=attn)
+
+        self._pipelines[key] = pipeline
+        return pipeline
+
+    def score_batch(self, refs: Sequence[np.ndarray],
+                    dists: Sequence[np.ndarray]) -> np.ndarray:
+        """Score aligned lists of reference/distorted images (same size,
+        float HWC in [0,1]). Predictions average over ``num_repeats``
+        patch resamples (reference eval-repeat semantics)."""
+        if len(refs) != len(dists):
+            raise ValueError("refs and dists must have the same length.")
+        raw = np.stack([np.stack([r, d]) for r, d in zip(refs, dists)]).astype(np.float32)
+        norm = (raw - DEFAULT_NORM_MEAN) / DEFAULT_NORM_STD
+        b, _, h, w, _ = raw.shape
+        pipeline = self._pipeline(b, h, w)
+
+        outs = []
+        for _ in range(self.num_repeats):
+            self._key, sub = jax.random.split(self._key)
+            outs.append(np.asarray(pipeline(self.params, jnp.asarray(raw),
+                                            jnp.asarray(norm), sub), float))
+        return np.mean(outs, axis=0)
+
+    def score_pair(self, ref: np.ndarray, dist: np.ndarray) -> float:
+        """Score one ref/dist pair; returns a scalar quality score
+        (lower = better under the framework's training convention)."""
+        return float(self.score_batch([ref], [dist])[0])
+
+
+def score_pair(ref: np.ndarray, dist: np.ndarray,
+               checkpoint: Optional[str] = None, **kwargs) -> float:
+    """One-shot functional API (builds a scorer per call — prefer
+    VTAMIQScorer for repeated use)."""
+    scorer = (VTAMIQScorer.from_checkpoint(checkpoint, **kwargs)
+              if checkpoint else VTAMIQScorer(**kwargs))
+    return scorer.score_pair(ref, dist)

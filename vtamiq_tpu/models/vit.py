@@ -123,6 +123,15 @@ def init_vit_params(key, cfg: ViTConfig) -> Dict:
 # building blocks
 # --------------------------------------------------------------------------
 
+def rms_norm(weight, x, eps: float = 1e-6):
+    """Llama-style RMSNorm (reference carries an unused implementation at
+    transformer.py:219-230; provided for architecture experiments)."""
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    y = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
+    return (y * weight.astype(jnp.float32)).astype(orig_dtype)
+
+
 def layer_norm(params, x, eps: float = 1e-6):
     """LayerNorm in fp32 regardless of compute dtype."""
     orig_dtype = x.dtype

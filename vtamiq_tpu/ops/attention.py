@@ -99,7 +99,7 @@ def blockwise_attention(q, k, v, mask: Optional[jnp.ndarray] = None,
 # Pallas flash-attention forward kernel
 # --------------------------------------------------------------------------
 
-def _flash_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
                       m_scratch, l_scratch, acc_scratch, *, scale, nk):
     """Grid (B, H, nQ, nK); the trailing (sequential) nK axis streams key
     blocks through the online softmax held in VMEM scratch."""
@@ -114,7 +114,7 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
     q = q_ref[0, 0]                                # (BQ, D)
     k = k_ref[0, 0]                                # (BK, D)
     v = v_ref[0, 0]                                # (BK, D)
-    kmask = mask_ref[0]                            # (BK,)
+    kmask = mask_ref[0, 0] != 0                    # (BK,)
 
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
@@ -140,11 +140,10 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
     def _finalize():
         l = jnp.maximum(l_scratch[...], 1e-30)
         o_ref[0, 0] = (acc_scratch[...] / l).astype(o_ref.dtype)
-        lse_ref[0, 0] = (m_scratch[...] + jnp.log(l))[:, 0]
 
 
 def _flash_forward(q, k, v, mask, block_q, block_k):
-    """(B, H, S, D) inputs -> (out (B, H, S, D), lse (B, H, S))."""
+    """(B, H, S, D) inputs -> out (B, H, S, D)."""
     b, h, s, d = q.shape
     scale = 1.0 / math.sqrt(d)
     nq = s // block_q
@@ -153,30 +152,25 @@ def _flash_forward(q, k, v, mask, block_q, block_k):
     kernel = functools.partial(_flash_fwd_kernel, scale=scale, nk=nk)
     grid = (b, h, nq, nk)
 
-    out, lse = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
-            pl.BlockSpec((1, block_k), lambda bi, hi, qi, ki: (bi, ki)),
+            pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi, ki: (bi, hi, qi)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, s), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
-    )(q, k, v, mask)
-    return out, lse
+    )(q, k, v, mask.astype(jnp.int32)[:, None, :])
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -201,7 +195,7 @@ def _attn_padded(q, k, v, mask, block_q, block_k, use_pallas):
         qt = q.transpose(0, 2, 1, 3)  # (B, H, S, D)
         kt = k.transpose(0, 2, 1, 3)
         vt = v.transpose(0, 2, 1, 3)
-        out, _lse = _flash_forward(qt, kt, vt, mask, block_q, block_k)
+        out = _flash_forward(qt, kt, vt, mask, block_q, block_k)
         out = out.transpose(0, 2, 1, 3)
     else:
         out = blockwise_attention(q, k, v, mask, block_k=block_k)
