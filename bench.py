@@ -32,9 +32,23 @@ ITERS = 10
 CACHE = os.path.join(REPO, ".bench_torch_cpu.json")
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache — first compile of the big fused
+    pipeline is slow on this remote-compile setup; subsequent runs hit disk."""
+    try:
+        import jax
+        cache_dir = os.path.join(REPO, ".jax_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
 def measure_jax():
     import jax
     import jax.numpy as jnp
+    _enable_compile_cache()
     from vtamiq_tpu.models.configs import get_vit_config, VTAMIQConfig
     from vtamiq_tpu.models.vtamiq import init_vtamiq_params, vtamiq_forward
     from vtamiq_tpu.ops.sampling import PatchSampler

@@ -190,3 +190,104 @@ class TestParseRuns:
         stats = parse_runs(runs, lambda *a, **k: None)
         assert abs(stats[SROCC_FIELD]["mean"] - 0.85) < 1e-12
         assert abs(stats["RMSE"]["std"] - 0.05) < 1e-12
+
+
+class TestEngineMesh:
+    def test_train_with_mesh(self, config_sandbox, tmp_path):
+        """Engine end-to-end with a (data=4, model=2) mesh on virtual devices."""
+        C = config_sandbox
+        setup_tiny_run(C, tmp_path)
+        g = C.global_config
+        g["do_train"] = True
+        g["do_val"] = False
+        g["do_test"] = True
+        g["num_epochs"] = 1
+        g["seed"] = 2
+        g["mesh_data"] = 4
+        g["mesh_model"] = 2
+        # model dims must divide the TP axis: hidden 32 / heads 2 over model=2
+        correlations = engine.train()
+        assert correlations is not None
+        assert np.isfinite(correlations[SROCC_FIELD])
+
+
+class TestEnginePairwise:
+    def test_pairwise_train(self, config_sandbox, tmp_path):
+        from test_datasets import make_pieapp_train
+        from vtamiq_tpu.data.datasets import PieAPPTrainPairwise
+        C = config_sandbox
+        root = str(tmp_path)
+        make_pieapp_train(root, num_ref=3, num_pairs=4)
+
+        class TinyPieAPP(PieAPPTrainPairwise):
+            num_ref_images = 3
+            num_dist_images = 4
+
+            def __init__(self, **kw):
+                kw.setdefault("datasets_root", root)
+                super().__init__(**kw)
+
+        split_cfg = C.setup_split_config(2, 0, (2, 3))
+        C._DATASET_REGISTRY[C.DATASET_PIEAPP_TRAIN] = (TinyPieAPP, split_cfg)
+
+        g = C.global_config
+        g["dataset"] = C.DATASET_PIEAPP_TRAIN
+        g["output_dir"] = os.path.join(root, "output")
+        g["do_train"] = True
+        g["do_val"] = False
+        g["do_test"] = True
+        g["num_epochs"] = 1
+        g["num_repeats_test"] = 1
+        g["seed"] = 4
+        g["compute_dtype"] = "float32"
+        C.vit_config.update(num_keep_layers=1, num_extra_tokens=2,
+                            hidden_size=32, mlp_dim=64, num_heads=2)
+        C.vtamiq_config.update(num_rgs=1, num_rcabs=1, ca_reduction=4)
+        C.dataloader_config_base[C.DATALOADER_PARAMS][C.USE_DEFAULT_PARAMS] = True
+        for s in (C.SPLIT_NAME_TRAIN, C.SPLIT_NAME_VAL, C.SPLIT_NAME_TEST):
+            C.dataloader_config_base[s][C.BATCH_SIZE] = 4
+            C.dataloader_config_base[s][C.PATCH_COUNT] = 16
+
+        correlations = engine.train()
+        assert correlations is not None
+
+    def test_pairwise_with_pref_module(self, config_sandbox, tmp_path):
+        from test_datasets import make_pieapp_train
+        from vtamiq_tpu.data.datasets import PieAPPTrainPairwise
+        C = config_sandbox
+        root = str(tmp_path)
+        make_pieapp_train(root, num_ref=2, num_pairs=3)
+
+        class TinyPieAPP(PieAPPTrainPairwise):
+            num_ref_images = 2
+            num_dist_images = 3
+
+            def __init__(self, **kw):
+                kw.setdefault("datasets_root", root)
+                super().__init__(**kw)
+
+        C._DATASET_REGISTRY[C.DATASET_PIEAPP_TRAIN] = (
+            TinyPieAPP, C.setup_split_config(1, 0, (1, 2)))
+        g = C.global_config
+        g["dataset"] = C.DATASET_PIEAPP_TRAIN
+        g["use_pref_module"] = True
+        g["output_dir"] = os.path.join(root, "output")
+        g["do_train"] = True
+        g["do_val"] = False
+        g["do_test"] = False
+        g["num_epochs"] = 1
+        g["seed"] = 4
+        g["compute_dtype"] = "float32"
+        C.vit_config.update(num_keep_layers=1, num_extra_tokens=2,
+                            hidden_size=32, mlp_dim=64, num_heads=2)
+        C.vtamiq_config.update(num_rgs=1, num_rcabs=1, ca_reduction=4)
+        C.dataloader_config_base[C.DATALOADER_PARAMS][C.USE_DEFAULT_PARAMS] = True
+        for s in (C.SPLIT_NAME_TRAIN, C.SPLIT_NAME_VAL, C.SPLIT_NAME_TEST):
+            C.dataloader_config_base[s][C.BATCH_SIZE] = 3
+            C.dataloader_config_base[s][C.PATCH_COUNT] = 16
+        engine.train()
+        out = g["output_dir_final"]
+        import numpy as _np
+        from vtamiq_tpu.models.checkpoint import load_checkpoint, PREF_MODULE_STATE_DICT
+        ckpt = load_checkpoint(os.path.join(out, "latest.npz"))
+        assert PREF_MODULE_STATE_DICT in ckpt  # pref module params saved
