@@ -56,6 +56,32 @@ def install_reference(path: str = REFERENCE_PATH) -> bool:
         sys.modules["timm.models.layers"] = timm_models_layers
         sys.modules["timm.layers"] = timm_layers
 
+    if "skimage" not in sys.modules:
+        # minimal stand-in for skimage.util.shape.view_as_windows
+        import numpy as np
+
+        def view_as_windows(arr, window_shape, step):
+            if isinstance(window_shape, int):
+                window_shape = (window_shape,) * arr.ndim
+            if isinstance(step, int):
+                step = (step,) * arr.ndim
+            out_shape = tuple((s - w) // st + 1
+                              for s, w, st in zip(arr.shape, window_shape, step))
+            strides = tuple(s * st for s, st in zip(arr.strides, step)) + arr.strides
+            return np.lib.stride_tricks.as_strided(
+                arr, shape=out_shape + tuple(window_shape), strides=strides,
+                writeable=False)
+
+        skimage = types.ModuleType("skimage")
+        skimage_util = types.ModuleType("skimage.util")
+        skimage_util_shape = types.ModuleType("skimage.util.shape")
+        skimage_util_shape.view_as_windows = view_as_windows
+        skimage.util = skimage_util
+        skimage_util.shape = skimage_util_shape
+        sys.modules["skimage"] = skimage
+        sys.modules["skimage.util"] = skimage_util
+        sys.modules["skimage.util.shape"] = skimage_util_shape
+
     if path not in sys.path:
         sys.path.insert(0, path)
     return True

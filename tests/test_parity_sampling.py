@@ -1,0 +1,191 @@
+"""Statistical parity: our CAPS sampler vs the reference's numpy sampler.
+
+The TPU redesign intentionally replaces the reference's data-dependent
+allocation loop and per-cell grid placement with deterministic largest-
+remainder + randomized-Halton (SURVEY.md §7 "hard parts": tolerance is on
+final metrics / sampling DISTRIBUTION, not identical draws). These tests
+check the distributions agree: exact per-scale budget math, matched spatial
+histograms for uniform + weighted sampling, and matched uv normalization.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from reference_shim import install_reference, reference_available
+
+from vtamiq_tpu.ops import (
+    PatchSampler, GRID_TYPE_PERTURBED, compute_num_patches_per_scale,
+    compute_patch_num_scales, get_iqa_patches,
+)
+from vtamiq_tpu.ops.sampling import sample_positions_uniform, sample_positions_weighted
+
+HAVE_REF = reference_available() and install_reference()
+pytestmark = pytest.mark.skipif(not HAVE_REF, reason="reference unavailable")
+
+
+class TestBudgetMathExact:
+    """The per-scale budget math must match the reference exactly."""
+
+    def test_num_patches_per_scale(self):
+        import data.patch_sampling as ref_ps
+        for count in (16, 256, 384, 500, 1024):
+            for scales in (1, 2, 3, 5):
+                if count < scales:
+                    continue
+                for ratio in (1.0, 1.7, 1.75, 2.0):
+                    ours = compute_num_patches_per_scale(count, scales, ratio)
+                    theirs = ref_ps.compute_num_patches_per_scale(count, scales, ratio)
+                    np.testing.assert_array_equal(ours, theirs,
+                                                  err_msg=f"{count},{scales},{ratio}")
+
+    def test_patch_num_scales(self):
+        import data.patch_sampling as ref_ps
+        for h, w in ((384, 512), (64, 64), (288, 288), (1024, 768)):
+            for want in (1, 2, 3, 5):
+                ours = compute_patch_num_scales(want, h, w, 16)
+                theirs = ref_ps.compute_patch_num_scales(want, h, w, 16, 16)
+                assert ours == theirs, (h, w, want)
+
+
+def spatial_histogram(samples_ij, h, w, bins=4):
+    """2D histogram of sample top-left positions, normalized."""
+    hist, _, _ = np.histogram2d(samples_ij[0], samples_ij[1],
+                                bins=bins, range=[[0, h], [0, w]])
+    return hist / hist.sum()
+
+
+class TestUniformSamplingDistribution:
+    def test_spatial_histogram_matches_reference(self):
+        """PERTURBED_SIMPLE (shipped default): aggregate spatial density over
+        many draws must match the reference's jittered grid."""
+        import data.patch_sampling as ref_ps
+        h, w, p, n, reps = 192, 256, 16, 128, 30
+
+        ours = []
+        key = jax.random.PRNGKey(0)
+        for i in range(reps):
+            key, sub = jax.random.split(key)
+            ours.append(np.asarray(sample_positions_uniform(sub, h, w, p, n)))
+        ours = np.concatenate(ours, axis=1)
+
+        np.random.seed(0)
+        theirs = []
+        for _ in range(reps):
+            s = ref_ps.stratified_grid_sampling(
+                h, w, p, p, sample_prob=np.ones((h, w)), num_samples=n,
+                grid_function_type=ref_ps.GRID_TYPE_PERTURBED_SIMPLE)
+            theirs.append(s)
+        theirs = np.concatenate(theirs, axis=1)
+
+        h_ours = spatial_histogram(ours, h, w)
+        h_theirs = spatial_histogram(theirs, h, w)
+        # 4x4 coarse bins: both should be ~uniform (1/16 each)
+        assert np.abs(h_ours - h_theirs).max() < 0.02, (h_ours, h_theirs)
+
+    def test_range_matches(self):
+        import data.patch_sampling as ref_ps
+        h, w, p, n = 192, 256, 16, 256
+        np.random.seed(1)
+        theirs = ref_ps.stratified_grid_sampling(
+            h, w, p, p, sample_prob=np.ones((h, w)), num_samples=n,
+            grid_function_type=ref_ps.GRID_TYPE_PERTURBED_SIMPLE)
+        ours = np.asarray(sample_positions_uniform(jax.random.PRNGKey(1), h, w, p, n))
+        for arr in (theirs, ours):
+            assert arr[0].min() >= 0 and arr[0].max() <= h - p + 1e-5
+            assert arr[1].min() >= 0 and arr[1].max() <= w - p + 1e-5
+
+
+class TestWeightedSamplingDistribution:
+    def test_weighted_histogram_matches_reference(self):
+        """Full CAPS with a strongly non-uniform probability map: per-region
+        sample mass must track the reference's cell allocation."""
+        import data.patch_sampling as ref_ps
+        h, w, p, n, reps = 128, 128, 16, 200, 20
+
+        prob = np.full((h, w), 0.1)
+        prob[:, : w // 2] = 1.0  # left half 10x more likely
+        prob /= prob.sum()
+
+        key = jax.random.PRNGKey(2)
+        ours = []
+        for i in range(reps):
+            key, sub = jax.random.split(key)
+            ours.append(np.asarray(sample_positions_weighted(
+                sub, jnp.asarray(prob, jnp.float32), h, w, p, n)))
+        ours = np.concatenate(ours, axis=1)
+
+        np.random.seed(2)
+        theirs = []
+        for _ in range(reps):
+            theirs.append(ref_ps.stratified_grid_sampling(
+                h, w, p, p, sample_prob=prob, num_samples=n,
+                grid_function_type=ref_ps.GRID_TYPE_PERTURBED))
+        theirs = np.concatenate(theirs, axis=1)
+
+        frac_left_ours = np.mean(ours[1] < w / 2)
+        frac_left_theirs = np.mean(theirs[1] < w / 2)
+        assert abs(frac_left_ours - frac_left_theirs) < 0.06, (
+            frac_left_ours, frac_left_theirs)
+
+
+class TestDiffMapParity:
+    def test_magnitude_diff_matches_reference(self):
+        import data.patch_sampling as ref_ps
+        rng = np.random.default_rng(0)
+        ref_img = rng.uniform(0, 1, (32, 32, 3))
+        dist_img = np.clip(ref_img + rng.normal(0, 0.2, ref_img.shape), 0, 1)
+
+        sampler_ref = ref_ps.PatchSampler(
+            diff_weight=1.0, uniform_weight=0.1,
+            grid_type=ref_ps.GRID_TYPE_PERTURBED)
+        # reference normalizes PIL inputs via pil2np (min-max); feed arrays
+        # already in [0,1] with min 0 / max 1 so both paths see the same data
+        ref_img[0, 0] = 0.0
+        ref_img[-1, -1] = 1.0
+        dist_img[0, 0] = 0.0
+        dist_img[-1, -1] = 1.0
+        theirs = sampler_ref.compute_diff([ref_img, dist_img])
+
+        from vtamiq_tpu.ops import compute_diff_map
+        imgs = jnp.stack([jnp.asarray(ref_img, jnp.float32),
+                          jnp.asarray(dist_img, jnp.float32)])
+        ours = np.asarray(compute_diff_map(imgs))
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+class TestGetIqaPatchesParity:
+    def test_uv_and_scale_budgets_match_reference(self):
+        """Multiscale extraction: per-scale counts and uv normalization match
+        the reference's get_iqa_patches on the same synthetic inputs."""
+        import torch
+        import data.patch_sampling as ref_ps
+        rng = np.random.default_rng(3)
+        h, w, n, scales_want = 256, 256, 84, 3
+        img = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+        img2 = np.clip(img + 0.1, 0, 1)
+
+        sampler_t = ref_ps.PatchSampler()  # PERTURBED_SIMPLE default
+        t_patches, t_pos, t_scales = ref_ps.get_iqa_patches(
+            [img, img2],
+            [torch.from_numpy(img.transpose(2, 0, 1)),
+             torch.from_numpy(img2.transpose(2, 0, 1))],
+            n, 16, sampler_t, scales_want, scale_num_samples_ratio=2.0)
+
+        ours_patches, ours_pos, ours_scales = get_iqa_patches(
+            jnp.stack([jnp.asarray(img), jnp.asarray(img2)]),
+            jnp.stack([jnp.asarray(img), jnp.asarray(img2)]),
+            jax.random.PRNGKey(0), n, 16, PatchSampler(), scales_want,
+            scale_num_samples_ratio=2.0)
+
+        assert ours_patches.shape == tuple(t_patches.shape[:2]) + (16, 16, 3)
+        # identical per-scale counts
+        t_counts = np.bincount(np.asarray(t_scales[0]), minlength=scales_want)
+        o_counts = np.bincount(np.asarray(ours_scales[0]), minlength=scales_want)
+        np.testing.assert_array_equal(t_counts, o_counts)
+        # identical uv range conventions
+        t_uv = np.asarray(t_pos)
+        o_uv = np.asarray(ours_pos)
+        assert t_uv.min() >= 0 and t_uv.max() < 1.0
+        assert o_uv.min() >= 0 and o_uv.max() < 1.0
