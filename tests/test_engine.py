@@ -291,3 +291,48 @@ class TestEnginePairwise:
         from vtamiq_tpu.models.checkpoint import load_checkpoint, PREF_MODULE_STATE_DICT
         ckpt = load_checkpoint(os.path.join(out, "latest.npz"))
         assert PREF_MODULE_STATE_DICT in ckpt  # pref module params saved
+
+
+class TestResume:
+    def test_resume_restores_optimizer_and_epoch(self, config_sandbox, tmp_path):
+        C = config_sandbox
+        setup_tiny_run(C, tmp_path)
+        g = C.global_config
+        g["do_train"] = True
+        g["do_val"] = False
+        g["do_test"] = False
+        g["num_epochs"] = 2
+        g["seed"] = 13
+        g["save_optimizer"] = True
+        engine.train()
+        ckpt = os.path.join(g["output_dir_final"], "latest.npz")
+
+        from vtamiq_tpu.models.checkpoint import load_checkpoint
+        saved = load_checkpoint(ckpt)
+        assert saved["epoch"] == 2
+        assert "__opt_leaves__" in saved
+
+        # resume: only epochs 3..4 run
+        C.reset_configs_validation()
+        g["resume_checkpoint_file"] = ckpt
+        g["num_epochs"] = 4
+        engine.train()
+        saved2 = load_checkpoint(os.path.join(g["output_dir_final"], "latest.npz"))
+        assert saved2["epoch"] == 4
+
+    def test_resume_without_opt_state_warns_and_runs(self, config_sandbox, tmp_path):
+        C = config_sandbox
+        setup_tiny_run(C, tmp_path)
+        g = C.global_config
+        g["do_train"] = True
+        g["do_val"] = False
+        g["do_test"] = False
+        g["num_epochs"] = 1
+        g["seed"] = 13
+        g["save_optimizer"] = False
+        engine.train()
+        ckpt = os.path.join(g["output_dir_final"], "latest.npz")
+        C.reset_configs_validation()
+        g["resume_checkpoint_file"] = ckpt
+        g["num_epochs"] = 2
+        correlations = engine.train()  # no crash; fresh optimizer

@@ -108,6 +108,10 @@ global_config = OrderedDict(
     allow_use_full_dataset_test=True,
 
     load_checkpoint_file=None,
+    resume_checkpoint_file=None,  # full resume: params + optimizer + epoch
+    # (new capability — the reference only reloads model weights and restarts
+    # the schedule; requires the checkpoint to have been saved with
+    # save_optimizer=True)
     vit_weights_path=None,  # path to jax-format ViT .npz (ImageNet pretrain)
 
     seed=-1,

@@ -327,6 +327,28 @@ def train():
     optimizer, _sched = make_optimizer(g, steps_per_epoch)
     opt_state = optimizer.init(params)
 
+    # full resume: params + optimizer state + epoch (preemption recovery;
+    # requires a checkpoint written with save_optimizer=True)
+    start_epoch = 1
+    resume_file = g.get("resume_checkpoint_file")
+    if resume_file:
+        from ..models.checkpoint import restore_opt_state
+        log(f"Resuming from checkpoint '{resume_file}'")
+        ckpt = load_checkpoint(resume_file)
+        params = merge_params(params, ckpt.get(MODEL_STATE_DICT, {}), log=log)
+        if use_pref_module and PREF_MODULE_STATE_DICT in ckpt:
+            params["pref_module"] = merge_params(
+                params["pref_module"], ckpt[PREF_MODULE_STATE_DICT], log=log)
+        if "__opt_leaves__" in ckpt:
+            opt_state = restore_opt_state(optimizer.init(params),
+                                          ckpt["__opt_leaves__"])
+            log("Optimizer state restored.")
+        else:
+            log_warn("Resume checkpoint has no optimizer state; "
+                     "fresh optimizer (schedule restarts).")
+        start_epoch = int(ckpt.get("epoch", 0)) + 1
+        log(f"Resuming at epoch {start_epoch}.")
+
     train_step = eval_step_val = eval_step_test = None
     if do_train_:
         train_step = make_train_step(
@@ -381,7 +403,7 @@ def train():
         C.save_configs(output_dir)
         C.save_code(output_dir)
 
-    for epoch in range(1, g["num_epochs"] + 1):
+    for epoch in range(start_epoch, g["num_epochs"] + 1):
         logger_run("Beginning epoch {:03d}".format(epoch))
 
         if frozen_model and freeze_end_after_epochs < epoch:
