@@ -46,6 +46,8 @@ class ViTConfig:
     # effectively 0.0; `vit_path_drop_active` preserves that behavior by
     # default while allowing the documented behavior to be switched on.
     vit_path_drop_active: bool = False
+    remat: bool = False          # jax.checkpoint each encoder layer: trades
+    # recompute FLOPs for activation memory (long patch sequences / training)
     vit_weights_path: Optional[str] = None
 
     @property

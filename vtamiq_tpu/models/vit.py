@@ -345,13 +345,20 @@ def vit_forward(params, cfg: ViTConfig, patches, pos, scales=None, *,
                 mask = jnp.pad(mask, ((0, 0), (0, s_pad - s)))
 
     layers = params["encoder"]["layers"]
+
+    def run_layer(layer_params, x, layer_rng):
+        return encoder_layer(layer_params, x, cfg, mask=mask,
+                             adapter_num=adapter_num, train=train,
+                             rng=layer_rng, attention_fn=attention_fn)
+
+    if cfg.remat:
+        run_layer = jax.checkpoint(run_layer)
+
     for i in range(cfg.effective_num_layers):
         layer_rng = None
         if rng is not None:
             rng, layer_rng = jax.random.split(rng)
-        x = encoder_layer(layers[f"layer_{i}"], x, cfg, mask=mask,
-                          adapter_num=adapter_num, train=train, rng=layer_rng,
-                          attention_fn=attention_fn)
+        x = run_layer(layers[f"layer_{i}"], x, layer_rng)
 
     x = layer_norm(params["encoder"]["final_ln"], x)
     x = x.astype(jnp.float32)
