@@ -22,8 +22,12 @@ DEFAULT_NORM_MEAN = (0.5, 0.5, 0.5)
 DEFAULT_NORM_STD = (0.5, 0.5, 0.5)
 
 
-def imread(path: str, is_hdr: bool = False) -> np.ndarray:
-    """Read an image as float32 HWC RGB in [0,1] (or raw floats for HDR EXR)."""
+def imread(path: str, is_hdr: bool = False, use_native: bool = True) -> np.ndarray:
+    """Read an image as float32 HWC RGB in [0,1] (or raw floats for HDR EXR).
+
+    Prefers the native C++ decoder (vtamiq_tpu/native — BMP/JPEG/PNG,
+    bit-exact vs PIL, several times faster); transparently falls back to PIL.
+    """
     if is_hdr:
         os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
         import cv2
@@ -31,6 +35,13 @@ def imread(path: str, is_hdr: bool = False) -> np.ndarray:
         if img is None:
             raise IOError(f"imread: failed to read HDR image [{path}]")
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32)
+    if use_native:
+        try:
+            from . import native_io
+            if native_io.available():
+                return native_io.decode_rgb(path)
+        except Exception:
+            pass  # unsupported codec/format -> PIL below
     with Image.open(path) as im:
         return np.asarray(im.convert("RGB"), dtype=np.float32) / 255.0
 
