@@ -60,22 +60,21 @@ def measure_jax():
     extract = make_extract_fn(sampler, ExtractConfig(patch_count=PATCHES, patch_dim=16))
 
     @jax.jit
-    def pipeline(params, imgs_raw, imgs_norm, key):
-        patches, pos, scales = extract(imgs_raw, imgs_norm, key)
+    def pipeline(params, imgs_raw, key):
+        patches, pos, scales = extract(imgs_raw, key)
         return vtamiq_forward(params, cfg, patches, pos, scales)
 
     rng = np.random.default_rng(0)
     raw = jnp.asarray(rng.uniform(0, 1, (BATCH, 2, IMG_H, IMG_W, 3)), jnp.float32)
-    norm = raw * 2.0 - 1.0
     key = jax.random.PRNGKey(0)
 
     for _ in range(WARMUP):
-        q = pipeline(params, raw, norm, key)
+        q = pipeline(params, raw, key)
     q.block_until_ready()
 
     t0 = time.perf_counter()
     for i in range(ITERS):
-        q = pipeline(params, raw, norm, jax.random.fold_in(key, i))
+        q = pipeline(params, raw, jax.random.fold_in(key, i))
     q.block_until_ready()
     dt = time.perf_counter() - t0
     pairs_per_sec = BATCH * ITERS / dt

@@ -251,7 +251,7 @@ class TestLoader:
         total_valid = sum(b.valid for b in batches)
         assert total_valid == 8
         b0 = batches[0]
-        assert b0.imgs_norm.shape == (3, 2, H, W, 3)
+        assert b0.imgs_raw.shape == (3, 2, H, W, 3)
         assert b0.qs.shape == (3,)
 
     def test_shuffle_changes_order_between_epochs(self, tmp_path):

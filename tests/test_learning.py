@@ -36,7 +36,7 @@ def make_graded_batch(rng, b=8, h=48, w=48):
         raw[i, 0] = ref
         raw[i, 1] = dist
     qs = levels / 0.5
-    return jnp.asarray(raw), jnp.asarray(raw * 2 - 1), jnp.asarray(qs)
+    return jnp.asarray(raw), jnp.asarray(qs)
 
 
 def test_pipeline_learns_noise_ordering():
@@ -54,18 +54,18 @@ def test_pipeline_learns_noise_ordering():
     key = jax.random.PRNGKey(0)
 
     # pre-training eval on a held-out graded batch
-    raw_ev, norm_ev, qs_ev = make_graded_batch(rng, b=16)
-    _, qp0 = eval_step(params, raw_ev, norm_ev, qs_ev, jax.random.PRNGKey(99), lw)
+    raw_ev, qs_ev = make_graded_batch(rng, b=16)
+    _, qp0 = eval_step(params, raw_ev, qs_ev, jax.random.PRNGKey(99), lw)
     srocc_before = compute_correlations(
         np.asarray(qs_ev), np.asarray(qp0))[SROCC_FIELD]
 
     for i in range(80):
-        raw, norm, qs = make_graded_batch(rng)
+        raw, qs = make_graded_batch(rng)
         key, sub = jax.random.split(key)
         params, opt_state, metrics, _ = step(params, opt_state, mask,
-                                             raw, norm, qs, sub, lw)
+                                             raw, qs, sub, lw)
 
-    _, qp1 = eval_step(params, raw_ev, norm_ev, qs_ev, jax.random.PRNGKey(99), lw)
+    _, qp1 = eval_step(params, raw_ev, qs_ev, jax.random.PRNGKey(99), lw)
     srocc_after = compute_correlations(
         np.asarray(qs_ev), np.asarray(qp1))[SROCC_FIELD]
 

@@ -35,7 +35,7 @@ def make_batch(b=4, k=2, h=64, w=64, seed=0):
     rng = np.random.default_rng(seed)
     raw = rng.uniform(0, 1, size=(b, k, h, w, 3)).astype(np.float32)
     qs = rng.uniform(0, 1, size=(b,)).astype(np.float32)
-    return jnp.asarray(raw), jnp.asarray(raw * 2 - 1), jnp.asarray(qs)
+    return jnp.asarray(raw), jnp.asarray(qs)
 
 
 class TestSchedules:
@@ -108,12 +108,12 @@ class TestTrainStep:
         mask = build_freeze_mask(params, False, {})
         step = make_train_step(CFG, PatchSampler(), ECFG, optimizer,
                                compute_dtype=jnp.float32)
-        raw, norm, qs = make_batch(b=6)
+        raw, qs = make_batch(b=6)
         key = jax.random.PRNGKey(0)
         first = None
         for i in range(8):
             params, opt_state, metrics, q_p = step(
-                params, opt_state, mask, raw, norm, qs, key, LW)
+                params, opt_state, mask, raw, qs, key, LW)
             if first is None:
                 first = float(metrics["loss"])
         assert float(metrics["loss"]) < first
@@ -127,8 +127,8 @@ class TestTrainStep:
         mask = build_freeze_mask(params, True, {"freeze_dict_vit": {}})
         step = make_train_step(CFG, PatchSampler(), ECFG, optimizer,
                                compute_dtype=jnp.float32)
-        raw, norm, qs = make_batch()
-        params, opt_state, _, _ = step(params, opt_state, mask, raw, norm, qs,
+        raw, qs = make_batch()
+        params, opt_state, _, _ = step(params, opt_state, mask, raw, qs,
                                        jax.random.PRNGKey(1), LW)
         np.testing.assert_array_equal(
             snap, np.asarray(params["vit"]["encoder"]["layers"]["layer_0"]
@@ -141,37 +141,37 @@ class TestTrainStep:
         mask = build_freeze_mask(params, False, {})
         step = make_train_step(CFG, PatchSampler(), ECFG, optimizer,
                                is_pairwise=True, compute_dtype=jnp.float32)
-        raw, norm, _ = make_batch(b=3, k=3)  # ref, distA, distB
+        raw, _ = make_batch(b=3, k=3)  # ref, distA, distB
         prefs = jnp.asarray([0.2, 0.5, 0.9])
         params, opt_state, metrics, q_p = step(
-            params, opt_state, mask, raw, norm, prefs, jax.random.PRNGKey(0), LW)
+            params, opt_state, mask, raw, prefs, jax.random.PRNGKey(0), LW)
         assert q_p.shape == (3,)
         assert np.all((np.asarray(q_p) > 0) & (np.asarray(q_p) < 1))  # sigmoid output
 
     def test_eval_step_deterministic_given_key(self):
         params = init_vtamiq_params(jax.random.PRNGKey(0), CFG)
         eval_step = make_eval_step(CFG, PatchSampler(), ECFG, compute_dtype=jnp.float32)
-        raw, norm, qs = make_batch()
-        m1, q1 = eval_step(params, raw, norm, qs, jax.random.PRNGKey(7), LW)
-        m2, q2 = eval_step(params, raw, norm, qs, jax.random.PRNGKey(7), LW)
+        raw, qs = make_batch()
+        m1, q1 = eval_step(params, raw, qs, jax.random.PRNGKey(7), LW)
+        m2, q2 = eval_step(params, raw, qs, jax.random.PRNGKey(7), LW)
         np.testing.assert_allclose(np.asarray(q1), np.asarray(q2))
-        m3, q3 = eval_step(params, raw, norm, qs, jax.random.PRNGKey(8), LW)
+        m3, q3 = eval_step(params, raw, qs, jax.random.PRNGKey(8), LW)
         assert not np.allclose(np.asarray(q1), np.asarray(q3))  # patch resample
 
 
 class TestExtractFn:
     def test_batched_extraction_shapes(self):
         extract = make_extract_fn(PatchSampler(), ECFG)
-        raw, norm, _ = make_batch(b=3)
-        patches, pos, scales = extract(raw, norm, jax.random.PRNGKey(0))
+        raw, _ = make_batch(b=3)
+        patches, pos, scales = extract(raw, jax.random.PRNGKey(0))
         assert patches.shape == (3, 2, 16, 16, 16, 3)
         assert pos.shape == (3, 2, 16, 2)
         assert scales is None
 
     def test_items_draw_independent_layouts(self):
         extract = make_extract_fn(PatchSampler(), ECFG)
-        raw, norm, _ = make_batch(b=2)
-        _, pos, _ = extract(raw, norm, jax.random.PRNGKey(0))
+        raw, _ = make_batch(b=2)
+        _, pos, _ = extract(raw, jax.random.PRNGKey(0))
         assert not np.allclose(np.asarray(pos[0]), np.asarray(pos[1]))
 
 
@@ -195,25 +195,25 @@ class TestSharding:
         step = wrap(params, opt_state, mask)
 
         params = shard_params(params, mesh)
-        raw, norm, qs = make_batch(b=8)
-        raw, norm, qs = shard_batch((raw, norm, qs), mesh)
+        raw, qs = make_batch(b=8)
+        raw, qs = shard_batch((raw, qs), mesh)
         params, opt_state, metrics, q_p = step(
-            params, opt_state, mask, raw, norm, qs, jax.random.PRNGKey(0), LW)
+            params, opt_state, mask, raw, qs, jax.random.PRNGKey(0), LW)
         assert np.isfinite(float(metrics["loss"]))
         assert q_p.shape == (8,)
 
     def test_sharded_matches_single_device(self):
         """Data-parallel eval must produce the same predictions as single-device."""
         params = init_vtamiq_params(jax.random.PRNGKey(0), CFG)
-        raw, norm, qs = make_batch(b=8)
+        raw, qs = make_batch(b=8)
         single = make_eval_step(CFG, PatchSampler(), ECFG, compute_dtype=jnp.float32)
-        m1, q1 = single(params, raw, norm, qs, jax.random.PRNGKey(3), LW)
+        m1, q1 = single(params, raw, qs, jax.random.PRNGKey(3), LW)
 
         mesh = make_mesh(data=8, model=1)
         wrap = make_eval_step(CFG, PatchSampler(), ECFG,
                               compute_dtype=jnp.float32, mesh=mesh)
         step = wrap(params)
         sp = shard_params(params, mesh)
-        sraw, snorm, sqs = shard_batch((raw, norm, qs), mesh)
-        m2, q2 = step(sp, sraw, snorm, sqs, jax.random.PRNGKey(3), LW)
+        sraw, sqs = shard_batch((raw, qs), mesh)
+        m2, q2 = step(sp, sraw, sqs, jax.random.PRNGKey(3), LW)
         np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), rtol=2e-4, atol=2e-4)

@@ -200,12 +200,16 @@ class PatchFRIQADataset(IQADataset):
         return (self.paths_ref[index], self.paths_dist[index])
 
     def get_sample(self, index: int, rng: Optional[np.random.Generator] = None,
-                   allow_img_flip: Optional[bool] = None):
-        """Load one (q, images) sample; images are float32 HWC, normalized.
+                   allow_img_flip: Optional[bool] = None,
+                   compute_norm: bool = True):
+        """Load one (q, images) sample; images are float32 HWC.
 
         Returns (q, imgs_raw, imgs_norm) where imgs_raw are [0,1] (diff-map
         input) and imgs_norm are model-normalized; both lists share the same
         random h/v flip (reference: patch_datasets.py:373-377,398-403).
+        The device pipeline fuses normalization on-chip; pass
+        compute_norm=False to skip the host-side normalized copies
+        (imgs_norm then mirrors imgs_raw).
         """
         flip = self.allow_img_flip if allow_img_flip is None else allow_img_flip
         h_flip = v_flip = False
@@ -221,7 +225,7 @@ class PatchFRIQADataset(IQADataset):
             img = self.get_img(path, is_ref_img=(k == 0))
             raw = transform_img(img, None, h_flip, v_flip, None, None)
             imgs_raw.append(raw)
-            if norm_mean is not None:
+            if compute_norm and norm_mean is not None:
                 imgs_norm.append((raw - np.asarray(norm_mean, np.float32))
                                  / np.asarray(norm_std, np.float32))
             else:

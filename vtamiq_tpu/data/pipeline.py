@@ -34,8 +34,8 @@ ImageBatch = namedtuple(
     "ImageBatch",
     [
         "qs",        # (B,) float32 labels
-        "imgs_raw",  # (B, K, H, W, 3) float32 in [0,1] (diff-map input)
-        "imgs_norm", # (B, K, H, W, 3) float32 normalized (model input)
+        "imgs_raw",  # (B, K, H, W, 3) float32 in [0,1]; model normalization
+                     # is fused into the device step (train/steps.py)
         "indices",   # (B,) int dataset indices
         "valid",     # int: first `valid` items are real; rest are pad repeats
     ],
@@ -93,26 +93,26 @@ class PatchDatasetLoader:
             return (n + self.batch_size - 1) // self.batch_size
         return n // self.batch_size
 
-    def _make_batch(self, items: List[Tuple[int, float, list, list]]) -> ImageBatch:
+    def _make_batch(self, items: List[Tuple[int, float, list]]) -> ImageBatch:
         valid = len(items)
         while len(items) < self.batch_size:  # pad by repeating the last item
             items.append(items[-1])
         indices = np.asarray([it[0] for it in items], int)
         qs = np.asarray([it[1] for it in items], np.float32)
         imgs_raw = np.stack([np.stack(it[2]) for it in items]).astype(np.float32)
-        imgs_norm = np.stack([np.stack(it[3]) for it in items]).astype(np.float32)
-        return ImageBatch(qs, imgs_raw, imgs_norm, indices, valid)
+        return ImageBatch(qs, imgs_raw, indices, valid)
 
     def _produce(self) -> Iterator[ImageBatch]:
         rng = np.random.default_rng((self.seed, self._epoch))
         self._epoch += 1
         buckets: Dict[Tuple[int, int], list] = {}
         for index in self._epoch_indices(rng):
-            q, imgs_raw, imgs_norm = self.dataset.get_sample(
-                int(index), rng=rng, allow_img_flip=self.allow_img_flip)
+            q, imgs_raw, _ = self.dataset.get_sample(
+                int(index), rng=rng, allow_img_flip=self.allow_img_flip,
+                compute_norm=False)
             size = imgs_raw[0].shape[:2]
             bucket = buckets.setdefault(size, [])
-            bucket.append((int(index), q, imgs_raw, imgs_norm))
+            bucket.append((int(index), q, imgs_raw))
             if len(bucket) == self.batch_size:
                 yield self._make_batch(bucket)
                 buckets[size] = []

@@ -79,15 +79,17 @@ class VTAMIQScorer:
 
         ecfg = ExtractConfig(patch_count=self.patch_count,
                              patch_dim=self.cfg.vit.patch_size,
-                             patch_num_scales=self.patch_num_scales)
+                             patch_num_scales=self.patch_num_scales,
+                             norm_mean=(DEFAULT_NORM_MEAN,) * 3,
+                             norm_std=(DEFAULT_NORM_STD,) * 3)
         extract = make_extract_fn(self.sampler, ecfg)
         attn = (make_attention_fn()
                 if self.patch_count >= FLASH_ATTENTION_THRESHOLD else None)
         cfg = self.cfg
 
         @jax.jit
-        def pipeline(params, raw, norm, rng):
-            patches, pos, scales = extract(raw, norm, rng)
+        def pipeline(params, raw, rng):
+            patches, pos, scales = extract(raw, rng)
             return vtamiq_forward(params, cfg, patches, pos, scales,
                                   attention_fn=attn)
 
@@ -102,15 +104,13 @@ class VTAMIQScorer:
         if len(refs) != len(dists):
             raise ValueError("refs and dists must have the same length.")
         raw = np.stack([np.stack([r, d]) for r, d in zip(refs, dists)]).astype(np.float32)
-        norm = (raw - DEFAULT_NORM_MEAN) / DEFAULT_NORM_STD
         b, _, h, w, _ = raw.shape
         pipeline = self._pipeline(b, h, w)
 
         outs = []
         for _ in range(self.num_repeats):
             self._key, sub = jax.random.split(self._key)
-            outs.append(np.asarray(pipeline(self.params, jnp.asarray(raw),
-                                            jnp.asarray(norm), sub), float))
+            outs.append(np.asarray(pipeline(self.params, jnp.asarray(raw), sub), float))
         return np.mean(outs, axis=0)
 
     def score_pair(self, ref: np.ndarray, dist: np.ndarray) -> float:

@@ -108,8 +108,7 @@ def _save(output_dir: str, filename: str, params: Dict, epoch: int, srocc: float
 # --------------------------------------------------------------------------
 
 def _batch_arrays(batch):
-    return (jnp.asarray(batch.imgs_raw), jnp.asarray(batch.imgs_norm),
-            jnp.asarray(batch.qs))
+    return jnp.asarray(batch.imgs_raw), jnp.asarray(batch.qs)
 
 
 def do_training(train_step, params, opt_state, mask, loader, key,
@@ -123,15 +122,15 @@ def do_training(train_step, params, opt_state, mask, loader, key,
 
     for batch_i, batch in enumerate(loader):
         key, sub = jax.random.split(key)
-        raw, norm, qs = _batch_arrays(batch)
+        raw, qs = _batch_arrays(batch)
         if mesh is not None:
-            raw, norm, qs = shard_batch((raw, norm, qs), mesh)
+            raw, qs = shard_batch((raw, qs), mesh)
         if batch.qs.shape[0] < 2:
             log_warn("Batch size < 2; skipping current batch.")
             continue
 
         params, opt_state, metrics, q_p = train_step(
-            params, opt_state, mask, raw, norm, qs, sub, lw)
+            params, opt_state, mask, raw, qs, sub, lw)
 
         v = batch.valid
         q_vals.append(np.asarray(batch.qs[:v], float))
@@ -176,10 +175,10 @@ def do_validation(eval_step, params, loader, key, loss_weights, *,
     for repeat in range(num_repeats):
         for i, batch in enumerate(loader):
             key, sub = jax.random.split(key)
-            raw, norm, qs = _batch_arrays(batch)
+            raw, qs = _batch_arrays(batch)
             if mesh is not None:
-                raw, norm, qs = shard_batch((raw, norm, qs), mesh)
-            metrics, q_p = eval_step(params, raw, norm, qs, sub, lw)
+                raw, qs = shard_batch((raw, qs), mesh)
+            metrics, q_p = eval_step(params, raw, qs, sub, lw)
 
             v = batch.valid
             ys.append(np.asarray(batch.qs[:v], float))
@@ -314,6 +313,10 @@ def train():
     compute_dtype = jnp.bfloat16 if g["compute_dtype"] == "bfloat16" else jnp.float32
     sampler = PatchSampler(**C.dataset_config_base["patch_sampler_config"])
 
+    # model-input normalization is fused into the device step
+    _probe_loader = loader_train or loader_val or loader_test
+    norm_mean, norm_std = _probe_loader.dataset.get_norm_mean_std()
+
     def make_ecfg(split):
         return ExtractConfig(
             patch_count=C.dataloader_config_base[split][C.PATCH_COUNT],
@@ -321,7 +324,9 @@ def train():
             patch_num_scales=C.dataset_config_base["patch_num_scales"],
             scale_num_samples_ratio=C.dataset_config_base["patch_sampling_num_scales_ratio"],
             use_aligned_patches=bool(
-                C.dataloader_config_base[split][C.USE_ALIGNED_PATCHES]))
+                C.dataloader_config_base[split][C.USE_ALIGNED_PATCHES]),
+            norm_mean=tuple(norm_mean) if norm_mean is not None else None,
+            norm_std=tuple(norm_std) if norm_std is not None else None)
 
     steps_per_epoch = len(loader_train) if loader_train is not None else 1
     optimizer, _sched = make_optimizer(g, steps_per_epoch)

@@ -38,30 +38,46 @@ from .optim import apply_mask
 
 @dataclasses.dataclass(frozen=True)
 class ExtractConfig:
-    """Static knobs of the on-device sampling+extraction stage."""
+    """Static knobs of the on-device sampling+extraction stage.
+
+    norm_mean/norm_std: model-input normalization, fused into the device
+    step so the host ships ONE raw image tensor per batch (the reference
+    normalizes on the host and ships normalized copies). None disables
+    normalization (HDR / PU modes).
+    """
     patch_count: int = 384
     patch_dim: int = 16
     patch_num_scales: int = 1
     scale_num_samples_ratio: float = DEFAULT_NUM_SAMPLES_RATIO
     use_aligned_patches: bool = True
+    norm_mean: Optional[Tuple[float, float, float]] = (0.5, 0.5, 0.5)
+    norm_std: Optional[Tuple[float, float, float]] = (0.5, 0.5, 0.5)
 
 
 def make_extract_fn(sampler: PatchSampler, ecfg: ExtractConfig) -> Callable:
-    """(B, K, H, W, 3) raw+normalized images + key -> batched patches.
+    """(B, K, H, W, 3) raw images + key -> batched patches.
 
-    vmapped over the batch with per-item PRNG keys so every item draws an
-    independent patch layout (like per-worker numpy RNG in the reference)."""
+    Normalization is fused on device; vmapped over the batch with per-item
+    PRNG keys so every item draws an independent patch layout (like
+    per-worker numpy RNG in the reference)."""
 
-    def extract_one(raw, norm, key):
+    if ecfg.norm_mean is not None and ecfg.norm_std is not None:
+        mean = jnp.asarray(ecfg.norm_mean, jnp.float32)
+        std = jnp.asarray(ecfg.norm_std, jnp.float32)
+        normalize = lambda raw: (raw - mean) / std
+    else:
+        normalize = lambda raw: raw
+
+    def extract_one(raw, key):
         return get_iqa_patches(
-            raw, norm, key, ecfg.patch_count, ecfg.patch_dim, sampler,
+            raw, normalize(raw), key, ecfg.patch_count, ecfg.patch_dim, sampler,
             ecfg.patch_num_scales, ecfg.scale_num_samples_ratio,
             ecfg.use_aligned_patches)
 
-    def extract(imgs_raw, imgs_norm, key):
+    def extract(imgs_raw, key):
         b = imgs_raw.shape[0]
         keys = jax.random.split(key, b)
-        return jax.vmap(extract_one)(imgs_raw, imgs_norm, keys)
+        return jax.vmap(extract_one)(imgs_raw, keys)
 
     return extract
 
@@ -109,7 +125,7 @@ def make_train_step(cfg: VTAMIQConfig, sampler: PatchSampler, ecfg: ExtractConfi
                     mesh: Optional[Mesh] = None) -> Callable:
     """Build the fused jitted train step.
 
-    step(params, opt_state, mask, imgs_raw, imgs_norm, qs, key, loss_weights)
+    step(params, opt_state, mask, imgs_raw, qs, key, loss_weights)
       -> (params, opt_state, metrics dict, q_pred)
 
     ``mask`` is the 0/1 freeze mask (data, not static — unfreeze never
@@ -120,9 +136,9 @@ def make_train_step(cfg: VTAMIQConfig, sampler: PatchSampler, ecfg: ExtractConfi
     attention_fn = (make_attention_fn()
                     if ecfg.patch_count >= FLASH_ATTENTION_THRESHOLD else None)
 
-    def step(params, opt_state, mask, imgs_raw, imgs_norm, qs, key, loss_weights):
+    def step(params, opt_state, mask, imgs_raw, qs, key, loss_weights):
         key_sample, key_model = jax.random.split(key)
-        patches, pos, scales = extract(imgs_raw, imgs_norm, key_sample)
+        patches, pos, scales = extract(imgs_raw, key_sample)
 
         def loss_fn(p):
             q_p = _forward_scores(p, cfg, patches, pos, scales, is_pairwise,
@@ -166,7 +182,7 @@ def make_train_step(cfg: VTAMIQConfig, sampler: PatchSampler, ecfg: ExtractConfi
         m_sh = jax.tree_util.tree_map(lambda _: rep, mask_template)
         return jax.jit(
             step,
-            in_shardings=(p_sh, o_sh, m_sh, data, data, data, rep, rep),
+            in_shardings=(p_sh, o_sh, m_sh, data, data, rep, rep),
             out_shardings=(p_sh, o_sh, rep, data),
             donate_argnums=(0, 1),
         )
@@ -178,15 +194,15 @@ def make_eval_step(cfg: VTAMIQConfig, sampler: PatchSampler, ecfg: ExtractConfig
                    is_pairwise: bool = False, use_pref_module: bool = False,
                    weighted_loss: bool = False, compute_dtype=jnp.bfloat16,
                    mesh: Optional[Mesh] = None) -> Callable:
-    """eval_step(params, imgs_raw, imgs_norm, qs, key, loss_weights)
+    """eval_step(params, imgs_raw, qs, key, loss_weights)
     -> (metrics, q_pred). No dropout/droppath; patches re-sampled per call
     (eval repeats average predictions downstream, train.py:398-409)."""
     extract = make_extract_fn(sampler, ecfg)
     attention_fn = (make_attention_fn()
                     if ecfg.patch_count >= FLASH_ATTENTION_THRESHOLD else None)
 
-    def step(params, imgs_raw, imgs_norm, qs, key, loss_weights):
-        patches, pos, scales = extract(imgs_raw, imgs_norm, key)
+    def step(params, imgs_raw, qs, key, loss_weights):
+        patches, pos, scales = extract(imgs_raw, key)
         q_p = _forward_scores(params, cfg, patches, pos, scales, is_pairwise,
                               use_pref_module, False, None, compute_dtype,
                               attention_fn)
@@ -207,6 +223,6 @@ def make_eval_step(cfg: VTAMIQConfig, sampler: PatchSampler, ecfg: ExtractConfig
     def wrap(params_template):
         p_sh = param_shardings(params_template, mesh)
         return jax.jit(step,
-                       in_shardings=(p_sh, data, data, data, rep, rep),
+                       in_shardings=(p_sh, data, data, rep, rep),
                        out_shardings=(rep, data))
     return wrap
