@@ -284,3 +284,42 @@ class TestLoader:
         ds = make_tid(str(tmp_path))
         with pytest.raises(ValueError):
             PatchDatasetLoader(ds, "Nope", batch_size=2, patch_count=16)
+
+
+class TestNativeLoaderPath:
+    def test_native_and_pil_batches_match(self, tmp_path):
+        from vtamiq_tpu.data import native_io
+        if not native_io.available():
+            pytest.skip("native IO unavailable")
+        ds = make_tid(str(tmp_path))
+        ds.add_split(dataset_split("Testing", [0, 1]))
+        loader = PatchDatasetLoader(ds, "Testing", batch_size=4, patch_count=16,
+                                    shuffle=False, prefetch=0)
+        native_batches = list(loader)
+
+        # force the PIL path by disabling native decode detection
+        loader2 = PatchDatasetLoader(ds, "Testing", batch_size=4, patch_count=16,
+                                     shuffle=False, prefetch=0)
+        loader2._use_native_batch_decode = lambda: False
+        pil_batches = list(loader2)
+
+        assert len(native_batches) == len(pil_batches)
+        for nb, pb in zip(native_batches, pil_batches):
+            np.testing.assert_array_equal(nb.indices, pb.indices)
+            np.testing.assert_allclose(nb.qs, pb.qs)
+            np.testing.assert_allclose(nb.imgs_raw, pb.imgs_raw, atol=1e-6)
+
+    def test_native_loader_with_flips_deterministic(self, tmp_path):
+        from vtamiq_tpu.data import native_io
+        if not native_io.available():
+            pytest.skip("native IO unavailable")
+        ds = make_tid(str(tmp_path))
+        ds.add_split(dataset_split("Training", [0]))
+        loader = PatchDatasetLoader(ds, "Training", batch_size=4, patch_count=16,
+                                    shuffle=False, allow_img_flip=True,
+                                    seed=3, prefetch=0)
+        b1 = list(loader)
+        loader._epoch = 0  # reset epoch counter -> same rng stream
+        b2 = list(loader)
+        for x, y in zip(b1, b2):
+            np.testing.assert_allclose(x.imgs_raw, y.imgs_raw)

@@ -102,9 +102,73 @@ class PatchDatasetLoader:
         imgs_raw = np.stack([np.stack(it[2]) for it in items]).astype(np.float32)
         return ImageBatch(qs, imgs_raw, indices, valid)
 
+    def _use_native_batch_decode(self) -> bool:
+        """Fast path: C++ thread-pool batch decode (vtamiq_tpu/native).
+        Falls back to per-sample PIL decode for HDR data or when image
+        caching is enabled (the cache lives in the PIL path)."""
+        if self.dataset.is_hdr:
+            return False
+        if getattr(self.dataset, "use_ref_img_cache", False) or \
+           getattr(self.dataset, "use_dist_img_cache", False):
+            return False
+        try:
+            from . import native_io
+            return native_io.available()
+        except Exception:
+            return False
+
+    def _decode_bucket_native(self, bucket) -> ImageBatch:
+        """bucket items: (index, q, paths tuple, (h_flip, v_flip), (H, W))."""
+        from . import native_io
+        valid = len(bucket)
+        while len(bucket) < self.batch_size:
+            bucket.append(bucket[-1])
+        k = len(bucket[0][2])
+        h, w = bucket[0][4]
+        paths, hflips, vflips = [], [], []
+        for (_i, _q, sample_paths, (hf, vf), _size) in bucket:
+            for p in sample_paths:
+                paths.append(p)
+                hflips.append(hf)
+                vflips.append(vf)
+        imgs = native_io.decode_batch(paths, [(h, w)] * len(paths),
+                                      h_flips=hflips, v_flips=vflips)
+        imgs_raw = np.stack(imgs).reshape(self.batch_size, k, h, w, 3)
+        indices = np.asarray([it[0] for it in bucket], int)
+        qs = np.asarray([it[1] for it in bucket], np.float32)
+        return ImageBatch(qs, imgs_raw, indices, valid)
+
+    def _produce_native(self, rng) -> Iterator[ImageBatch]:
+        from . import native_io
+        buckets: Dict[Tuple[int, int], list] = {}
+        for index in self._epoch_indices(rng):
+            index = int(index)
+            paths = self.dataset.sample_paths(index)
+            q = float(self.dataset.qs[index])
+            h_flip = v_flip = False
+            if self.allow_img_flip:
+                h_flip = bool(rng.random() < 0.5)
+                v_flip = bool(rng.random() < 0.5)
+            size = native_io.image_size(paths[0])
+            bucket = buckets.setdefault(size, [])
+            bucket.append((index, q, paths, (h_flip, v_flip), size))
+            if len(bucket) == self.batch_size:
+                yield self._decode_bucket_native(bucket)
+                buckets[size] = []
+        for size, bucket in buckets.items():
+            if bucket and self.pad_partial_batches:
+                yield self._decode_bucket_native(bucket)
+
     def _produce(self) -> Iterator[ImageBatch]:
         rng = np.random.default_rng((self.seed, self._epoch))
         self._epoch += 1
+        if self._use_native_batch_decode():
+            try:
+                yield from self._produce_native(rng)
+                return
+            except IOError:
+                # unsupported codec in this dataset -> PIL path below
+                rng = np.random.default_rng((self.seed, self._epoch - 1))
         buckets: Dict[Tuple[int, int], list] = {}
         for index in self._epoch_indices(rng):
             q, imgs_raw, _ = self.dataset.get_sample(
