@@ -16,8 +16,7 @@ compiled with GSPMD shardings (batch over "data", Megatron-style TP over
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,9 +29,7 @@ from ..ops.attention import make_attention_fn, FLASH_ATTENTION_THRESHOLD
 from ..ops.extraction import get_iqa_patches
 from ..ops.losses import loss_func_iqa, loss_func_pairwise
 from ..ops.sampling import PatchSampler, DEFAULT_NUM_SAMPLES_RATIO
-from ..parallel.mesh import (
-    batch_sharding, param_shardings, replicated, Mesh,
-)
+from ..parallel.mesh import batch_sharding, param_shardings, replicated, Mesh
 from .optim import apply_mask
 
 
@@ -166,11 +163,6 @@ def make_train_step(cfg: VTAMIQConfig, sampler: PatchSampler, ecfg: ExtractConfi
         return jax.jit(step, donate_argnums=(0, 1))
 
     # GSPMD-sharded compile: params/opt_state follow TP layout, batch over data
-    def sharded(params_template):
-        p_sh = param_shardings(params_template, mesh)
-        o_sh = None  # inferred by jit from params via init below
-        return p_sh
-
     rep = replicated(mesh)
     data = batch_sharding(mesh)
 
