@@ -336,3 +336,36 @@ class TestResume:
         g["resume_checkpoint_file"] = ckpt
         g["num_epochs"] = 2
         correlations = engine.train()  # no crash; fresh optimizer
+
+
+class TestEngineMultiscale:
+    def test_multiscale_with_scale_embeddings(self, config_sandbox, tmp_path):
+        """End-to-end with patch_num_scales=3 + MUSIQ-style scale embeddings
+        (BASELINE config #4: multiscale 16/32/64px at a 16:4:1-style budget).
+        Images must be large enough for 3 pyramid levels (>=~160px;
+        compute_patch_num_scales caps the count otherwise, matching the
+        reference's behavior)."""
+        from PIL import Image as PILImage
+        C = config_sandbox
+        setup_tiny_run(C, tmp_path, num_ref=5, num_dist=3)
+        # overwrite the synthetic images with larger ones (160x160)
+        base = os.path.join(str(tmp_path), "tid2013")
+        rng_img = np.random.default_rng(0)
+        for sub in ("reference_images", "distorted_images"):
+            d = os.path.join(base, sub)
+            for name in os.listdir(d):
+                arr = rng_img.integers(0, 255, size=(160, 160, 3), dtype=np.uint8)
+                PILImage.fromarray(arr).save(os.path.join(d, name))
+        g = C.global_config
+        g["do_train"] = True
+        g["do_val"] = False
+        g["do_test"] = True
+        g["num_epochs"] = 1
+        g["num_repeats_test"] = 1
+        g["seed"] = 6
+        C.vit_config["num_scales"] = 3
+        C.dataset_config_base["patch_num_scales"] = 3
+        C.dataset_config_base["patch_sampling_num_scales_ratio"] = 2.0
+        correlations = engine.train()
+        assert correlations is not None
+        assert np.isfinite(correlations[SROCC_FIELD])
