@@ -49,6 +49,9 @@ class ExtractConfig:
     use_aligned_patches: bool = True
     norm_mean: Optional[Tuple[float, float, float]] = (0.5, 0.5, 0.5)
     norm_std: Optional[Tuple[float, float, float]] = (0.5, 0.5, 0.5)
+    gather_dtype: str = "bfloat16"  # dtype of the normalized image fed to the
+    # patch gather: bf16 halves the gather's HBM traffic; the ViT computes in
+    # bf16 anyway (raw images stay fp32 for the diff/sampling map)
 
 
 def make_extract_fn(sampler: PatchSampler, ecfg: ExtractConfig) -> Callable:
@@ -58,12 +61,13 @@ def make_extract_fn(sampler: PatchSampler, ecfg: ExtractConfig) -> Callable:
     PRNG keys so every item draws an independent patch layout (like
     per-worker numpy RNG in the reference)."""
 
+    gather_dtype = jnp.dtype(ecfg.gather_dtype)
     if ecfg.norm_mean is not None and ecfg.norm_std is not None:
         mean = jnp.asarray(ecfg.norm_mean, jnp.float32)
         std = jnp.asarray(ecfg.norm_std, jnp.float32)
-        normalize = lambda raw: (raw - mean) / std
+        normalize = lambda raw: ((raw - mean) / std).astype(gather_dtype)
     else:
-        normalize = lambda raw: raw
+        normalize = lambda raw: raw.astype(gather_dtype)
 
     def extract_one(raw, key):
         return get_iqa_patches(
