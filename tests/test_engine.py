@@ -369,3 +369,38 @@ class TestEngineMultiscale:
         correlations = engine.train()
         assert correlations is not None
         assert np.isfinite(correlations[SROCC_FIELD])
+
+
+class TestCrossDatabase:
+    def test_dataset_test_override(self, config_sandbox, tmp_path):
+        """Train on one dataset, test on another (cross-database eval —
+        BASELINE config #5's evaluation mode; reference: dataset_test knob,
+        train_config.py:637-639)."""
+        from test_datasets import make_kadid
+        from vtamiq_tpu.data.datasets import KADID10kDataset
+        C = config_sandbox
+        setup_tiny_run(C, tmp_path)
+        root = str(tmp_path)
+        make_kadid(root, num_ref=3, num_dist=2)
+
+        class TinyKADID(KADID10kDataset):
+            num_ref_images = 3
+            num_dist_images = 2
+
+            def __init__(self, **kw):
+                kw.setdefault("datasets_root", root)
+                super().__init__(**kw)
+
+        C._DATASET_REGISTRY[C.DATASET_KADID10K] = (
+            TinyKADID, C.setup_split_config(1, (1, 2), (2, 3)))
+
+        g = C.global_config
+        g["do_train"] = True
+        g["do_val"] = False
+        g["do_test"] = True
+        g["num_epochs"] = 1
+        g["num_repeats_test"] = 1
+        g["seed"] = 8
+        g["dataset_test"] = C.DATASET_KADID10K  # train TID -> test KADID
+        correlations = engine.train()
+        assert correlations is not None
