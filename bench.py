@@ -73,18 +73,40 @@ def measure_jax():
             return acc + jnp.sum(q)
         return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
 
+    # fallback: the same work split into two dispatches per iteration
+    # (extract, then forward). The single fused executable intermittently
+    # hits a device/compiler fault on this environment's TPU service; the
+    # split stages are reliable and measure the same device work.
+    extract_j = jax.jit(lambda r, k: extract(r, k))
+    forward_j = jax.jit(lambda p, x, uv, s: vtamiq_forward(p, cfg, x, uv, s))
+
+    def split_run(params, raw, key, iters):
+        for i in range(iters):
+            patches, pos, scales = extract_j(raw, jax.random.fold_in(key, i))
+            q = forward_j(params, patches, pos, scales)
+        q.block_until_ready()
+        return q
+
     rng = np.random.default_rng(0)
     raw = jnp.asarray(rng.uniform(0, 1, (BATCH, 2, IMG_H, IMG_W, 3)), jnp.float32)
     key = jax.random.PRNGKey(0)
 
-    for w in range(WARMUP):
-        acc = pipeline_n(params, raw, jax.random.fold_in(key, 1000 + w))
-    acc.block_until_ready()
+    try:
+        for w in range(WARMUP):
+            acc = pipeline_n(params, raw, jax.random.fold_in(key, 1000 + w))
+        acc.block_until_ready()
+        t0 = time.perf_counter()
+        acc = pipeline_n(params, raw, key)
+        acc.block_until_ready()
+        dt = time.perf_counter() - t0
+    except Exception as e:
+        print(f"fused pipeline failed ({type(e).__name__}); "
+              f"falling back to split stages", file=sys.stderr)
+        split_run(params, raw, key, 2)  # warmup/compile
+        t0 = time.perf_counter()
+        split_run(params, raw, key, ITERS)
+        dt = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    acc = pipeline_n(params, raw, key)
-    acc.block_until_ready()
-    dt = time.perf_counter() - t0
     pairs_per_sec = BATCH * ITERS / dt
     device = str(jax.devices()[0])
     return pairs_per_sec, device
