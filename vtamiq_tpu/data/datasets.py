@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 from collections import namedtuple
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

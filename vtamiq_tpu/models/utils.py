@@ -9,7 +9,7 @@ input convention: 1 pair x 500 patches x 3x16x16 (modules/utils.py:68-78).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import numpy as np

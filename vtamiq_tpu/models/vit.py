@@ -27,7 +27,7 @@ Behavioral quirks preserved (SURVEY.md §7 parity traps):
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ rg_path_drop (channel_attention.py:26-29), unlike the inert encoder DropPath.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

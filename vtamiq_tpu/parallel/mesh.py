@@ -14,7 +14,7 @@ NCCL/MPI — single GPU). This module is new TPU-native capability: a 2-D
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

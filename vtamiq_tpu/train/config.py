@@ -18,7 +18,7 @@ import os
 import shutil
 from collections import OrderedDict
 from copy import deepcopy
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 import yaml
