@@ -404,3 +404,22 @@ class TestCrossDatabase:
         g["dataset_test"] = C.DATASET_KADID10K  # train TID -> test KADID
         correlations = engine.train()
         assert correlations is not None
+
+
+class TestEnginePU:
+    def test_use_pu_mode(self, config_sandbox, tmp_path):
+        """use_pu: normalization disabled, PU21 display encoding fused into
+        the device step (reference train_config.py:823-826 + new capability)."""
+        C = config_sandbox
+        setup_tiny_run(C, tmp_path)
+        g = C.global_config
+        g["use_pu"] = True
+        g["do_train"] = True
+        g["do_val"] = False
+        g["do_test"] = True
+        g["num_epochs"] = 1
+        g["num_repeats_test"] = 1
+        g["seed"] = 9
+        correlations = engine.train()
+        assert correlations is not None
+        assert C.dataset_config_base["normalize"] is False  # derived by validate

@@ -217,3 +217,29 @@ class TestSharding:
         sraw, sqs = shard_batch((raw, qs), mesh)
         m2, q2 = step(sp, sraw, sqs, jax.random.PRNGKey(3), LW)
         np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), rtol=2e-4, atol=2e-4)
+
+
+class TestPUEncoding:
+    def test_pu_pipeline_runs_and_differs_from_linear(self):
+        from vtamiq_tpu.train.steps import make_extract_fn, ExtractConfig
+        from vtamiq_tpu.ops import PatchSampler
+        raw, _ = make_batch(b=2)
+        ecfg_pu = ExtractConfig(patch_count=16, patch_dim=16, norm_mean=None,
+                                norm_std=None, pu_display_encode=True,
+                                gather_dtype="float32")
+        ecfg_lin = ExtractConfig(patch_count=16, patch_dim=16, norm_mean=None,
+                                 norm_std=None, gather_dtype="float32")
+        key = jax.random.PRNGKey(0)
+        p_pu, _, _ = make_extract_fn(PatchSampler(), ecfg_pu)(raw, key)
+        p_lin, _, _ = make_extract_fn(PatchSampler(), ecfg_lin)(raw, key)
+        assert p_pu.shape == p_lin.shape
+        # PU encoding is a nonlinear monotone map, not identity
+        assert not np.allclose(np.asarray(p_pu), np.asarray(p_lin))
+        assert np.asarray(p_pu).min() >= 0.0 and np.asarray(p_pu).max() <= 1.01
+
+    def test_pu_monotone(self):
+        from vtamiq_tpu.utils.color_spaces import pu21_encode_jnp, pu21_encode
+        x = jnp.linspace(0.01, 100.0, 32)
+        v = np.asarray(pu21_encode_jnp(x))
+        assert (np.diff(v) > 0).all()
+        np.testing.assert_allclose(v, pu21_encode(np.asarray(x)), rtol=1e-4)

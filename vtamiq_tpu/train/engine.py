@@ -326,7 +326,8 @@ def train():
             use_aligned_patches=bool(
                 C.dataloader_config_base[split][C.USE_ALIGNED_PATCHES]),
             norm_mean=tuple(norm_mean) if norm_mean is not None else None,
-            norm_std=tuple(norm_std) if norm_std is not None else None)
+            norm_std=tuple(norm_std) if norm_std is not None else None,
+            pu_display_encode=bool(g["use_pu"]))
 
     steps_per_epoch = len(loader_train) if loader_train is not None else 1
     optimizer, _sched = make_optimizer(g, steps_per_epoch)

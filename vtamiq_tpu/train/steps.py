@@ -52,6 +52,10 @@ class ExtractConfig:
     gather_dtype: str = "bfloat16"  # dtype of the normalized image fed to the
     # patch gather: bf16 halves the gather's HBM traffic; the ViT computes in
     # bf16 anyway (raw images stay fp32 for the diff/sampling map)
+    pu_display_encode: bool = False  # use_pu mode: sRGB -> SDR display model
+    # -> PU21 perceptually-uniform encoding, fused on device (normalization
+    # must be disabled; reference train_config.py:823-826)
+    pu_peak_luminance: float = 100.0
 
 
 def make_extract_fn(sampler: PatchSampler, ecfg: ExtractConfig) -> Callable:
@@ -62,7 +66,16 @@ def make_extract_fn(sampler: PatchSampler, ecfg: ExtractConfig) -> Callable:
     per-worker numpy RNG in the reference)."""
 
     gather_dtype = jnp.dtype(ecfg.gather_dtype)
-    if ecfg.norm_mean is not None and ecfg.norm_std is not None:
+    if ecfg.pu_display_encode:
+        from ..utils.color_spaces import pu21_encode_jnp
+
+        def normalize(raw):
+            # per-channel SDR display model then PU21, rescaled to ~[0,1]
+            lum = (ecfg.pu_peak_luminance - 0.5) * raw + 0.5
+            pu = pu21_encode_jnp(lum)
+            peak = pu21_encode_jnp(jnp.asarray(ecfg.pu_peak_luminance))
+            return (pu / peak).astype(gather_dtype)
+    elif ecfg.norm_mean is not None and ecfg.norm_std is not None:
         mean = jnp.asarray(ecfg.norm_mean, jnp.float32)
         std = jnp.asarray(ecfg.norm_std, jnp.float32)
         normalize = lambda raw: ((raw - mean) / std).astype(gather_dtype)

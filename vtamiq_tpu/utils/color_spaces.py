@@ -120,6 +120,16 @@ def pu21_decode(v: np.ndarray) -> np.ndarray:
     return np.sqrt(lo * hi).astype(np.float32)
 
 
+def pu21_encode_jnp(luminance, jnp=None):
+    """jittable PU21 encoding (same coefficients as pu21_encode) for use
+    inside device pipelines; ``luminance`` is a jax array in cd/m^2."""
+    import jax.numpy as jnp
+    y = jnp.clip(luminance, 0.005, 10000.0)
+    p = _PU21_P
+    v = p[6] * (((p[0] + p[1] * y ** p[3]) / (1.0 + p[2] * y ** p[3])) ** p[4] - p[5])
+    return jnp.maximum(v, 0.0)
+
+
 def display_model_sdr(srgb: np.ndarray, peak_luminance: float = 100.0,
                       black_level: float = 0.5) -> np.ndarray:
     """Simple SDR display model: sRGB [0,1] -> absolute luminance cd/m^2
