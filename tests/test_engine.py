@@ -423,3 +423,53 @@ class TestEnginePU:
         correlations = engine.train()
         assert correlations is not None
         assert C.dataset_config_base["normalize"] is False  # derived by validate
+
+
+class TestRunScripts:
+    def test_custom_run_debug(self, config_sandbox, tmp_path):
+        """run_custom.custom_run smoke (debug TID2013 train+val+test,
+        reference run_custom.py:39-58) against the tiny synthetic dataset."""
+        from vtamiq_tpu.train import run_custom
+        C = config_sandbox
+        setup_tiny_run(C, tmp_path)
+        C.global_config["num_epochs"] = 1  # custom_run sets 20; shrink after
+        orig = run_custom.engine.train
+
+        def patched_train():
+            # custom_run sets num_epochs=20; clamp for CPU test speed
+            C.global_config["num_epochs"] = 1
+            C.global_config["num_repeats_test"] = 1
+            return orig()
+
+        run_custom.engine.train = patched_train
+        try:
+            correlations = run_custom.custom_run()
+        finally:
+            run_custom.engine.train = orig
+        assert correlations is not None
+
+    def test_run_multi_two_runs(self, config_sandbox, tmp_path):
+        """run_multi.main smoke: 2 random-split runs + aggregation
+        (reference run_multi.py:24-62)."""
+        import os as _os
+        from vtamiq_tpu.train import run_multi
+        C = config_sandbox
+        setup_tiny_run(C, tmp_path)
+        g = C.global_config
+        g["num_repeats_test"] = 1
+        cwd = _os.getcwd()
+        _os.chdir(str(tmp_path))  # run_multi writes ./output
+        orig = run_multi.engine.train
+
+        def patched_train():
+            g["num_epochs"] = 1
+            return orig()
+
+        run_multi.engine.train = patched_train
+        try:
+            stats = run_multi.main(num_runs=2, dataset=C.DATASET_TID2013)
+        finally:
+            run_multi.engine.train = orig
+            _os.chdir(cwd)
+        assert "SROCC" in stats
+        assert "mean" in stats["SROCC"]
