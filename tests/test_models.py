@@ -253,3 +253,31 @@ class TestNpzLoading:
         pos = jnp.full((1, 8, 2), 0.5, jnp.float32)
         out = vit_forward(params, cfg, patches, pos, compute_dtype=jnp.float32)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestReturnAttention:
+    def test_attention_and_layers_returned(self):
+        params = init_vit_params(jax.random.PRNGKey(0), SMALL_VIT)
+        patches, pos = make_inputs(n=8)
+        x, attn, layers = vit_forward(params, SMALL_VIT, patches, pos,
+                                      compute_dtype=jnp.float32,
+                                      pad_seq_to=None,
+                                      return_attention=True, return_layers=True)
+        s = SMALL_VIT.num_tokens + 8
+        assert len(attn) == SMALL_VIT.effective_num_layers
+        assert attn[0].shape == (2, SMALL_VIT.num_heads, s, s)
+        # attention rows sum to 1
+        np.testing.assert_allclose(np.asarray(attn[0].sum(-1)), 1.0, rtol=1e-5)
+        assert len(layers) == SMALL_VIT.effective_num_layers
+        # tokens_only slicing applied to layer states (reference
+        # transformer.py:633-636)
+        assert layers[0].shape == (2, SMALL_VIT.num_tokens, SMALL_VIT.hidden_size)
+
+    def test_default_path_unchanged(self):
+        params = init_vit_params(jax.random.PRNGKey(0), SMALL_VIT)
+        patches, pos = make_inputs(n=8)
+        out1 = vit_forward(params, SMALL_VIT, patches, pos, compute_dtype=jnp.float32)
+        out2, _, _ = vit_forward(params, SMALL_VIT, patches, pos,
+                                 compute_dtype=jnp.float32, return_attention=True)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                                   rtol=1e-5, atol=1e-6)

@@ -151,10 +151,14 @@ def dense(params, x, dtype=None):
 
 
 def mhsa(params, x, num_heads: int, mask: Optional[jnp.ndarray] = None,
-         attention_fn=None):
+         attention_fn=None, return_attention: bool = False):
     """Multi-head self-attention (reference: transformer.py:125-172).
 
     x: (B, S, H); mask: optional (B, S) bool of valid key positions.
+    Returns (out, probs) — probs is the (B, heads, S, S) attention matrix
+    when ``return_attention`` (reference return_attention knob), else None.
+    Attention maps are only materialized on the full-softmax path (the flash
+    kernel never forms them — that is its point).
     """
     b, s, h = x.shape
     d = h // num_heads
@@ -164,7 +168,8 @@ def mhsa(params, x, num_heads: int, mask: Optional[jnp.ndarray] = None,
     k = dense(params["key"], x, dtype).reshape(b, s, num_heads, d)
     v = dense(params["value"], x, dtype).reshape(b, s, num_heads, d)
 
-    if attention_fn is not None:
+    probs_out = None
+    if attention_fn is not None and not return_attention:
         ctx = attention_fn(q, k, v, mask)
     else:
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
@@ -172,11 +177,13 @@ def mhsa(params, x, num_heads: int, mask: Optional[jnp.ndarray] = None,
         if mask is not None:
             logits = jnp.where(mask[:, None, None, :], logits, NEG_INF)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
+        if return_attention:
+            probs_out = probs
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                          preferred_element_type=jnp.float32).astype(dtype)
 
     ctx = ctx.reshape(b, s, h)
-    return dense(params["out"], ctx, dtype)
+    return dense(params["out"], ctx, dtype), probs_out
 
 
 def mlp_block(params, x):
@@ -201,9 +208,9 @@ def drop_path(key, x, prob: float):
 
 def encoder_layer(params, x, cfg: ViTConfig, mask=None, adapter_num: int = -1,
                   train: bool = False, rng: Optional[jax.Array] = None,
-                  attention_fn=None):
+                  attention_fn=None, return_attention: bool = False):
     """Pre-LN block: x += DP(LS1(MHSA(LN(x)))); x += DP(LS2(MLP(LN(x))))
-    (reference: transformer.py:275-285)."""
+    (reference: transformer.py:275-285). Returns (x, attn_probs | None)."""
     use_adapter = cfg.num_adapters > 0 and adapter_num >= 0
     adapter = params.get("adapters", {}).get(f"adapter_{adapter_num}") if use_adapter else None
 
@@ -213,8 +220,9 @@ def encoder_layer(params, x, cfg: ViTConfig, mask=None, adapter_num: int = -1,
     else:
         rng1 = rng2 = None
 
-    h = mhsa(params["attn"], layer_norm(params["ln1"], x), cfg.num_heads,
-             mask=mask, attention_fn=attention_fn)
+    h, attn_probs = mhsa(params["attn"], layer_norm(params["ln1"], x),
+                         cfg.num_heads, mask=mask, attention_fn=attention_fn,
+                         return_attention=return_attention)
     if adapter is not None:
         h = adapter_block(adapter["attn"], h)
     if cfg.use_layer_scale:
@@ -230,7 +238,7 @@ def encoder_layer(params, x, cfg: ViTConfig, mask=None, adapter_num: int = -1,
         h = h * params["ls2"].astype(h.dtype)
     if rng2 is not None:
         h = drop_path(rng2, h, dp_prob)
-    return x + h
+    return x + h, attn_probs
 
 
 # --------------------------------------------------------------------------
@@ -309,7 +317,8 @@ def vit_forward(params, cfg: ViTConfig, patches, pos, scales=None, *,
                 train: bool = False, rng: Optional[jax.Array] = None,
                 patch_mask: Optional[jnp.ndarray] = None,
                 compute_dtype=jnp.bfloat16, pad_seq_to: Optional[int] = 128,
-                attention_fn=None, pre_embedded: bool = False) -> jnp.ndarray:
+                attention_fn=None, pre_embedded: bool = False,
+                return_attention: bool = False, return_layers: bool = False):
     """Full ViT forward over a sparse patch sequence.
 
     Args:
@@ -320,8 +329,13 @@ def vit_forward(params, cfg: ViTConfig, patches, pos, scales=None, *,
         attention). CLS/extra tokens are always valid.
       pad_seq_to: pad the token sequence to a multiple of this for MXU/VPU
         lane alignment (None disables).
+      return_attention / return_layers: also return per-layer attention
+        probabilities / hidden states (reference Encoder.forward,
+        transformer.py:363-378); intended for visualization/analysis, not the
+        train path.
 
-    Returns (B, num_tokens, H) when tokens_only else (B, S, H) fp32.
+    Returns (B, num_tokens, H) when tokens_only else (B, S, H) fp32; with
+    return_attention or return_layers, returns (x, attn_list, layers_list).
     """
     b, n = patches.shape[0], patches.shape[1]
     t = cfg.num_tokens
@@ -349,21 +363,32 @@ def vit_forward(params, cfg: ViTConfig, patches, pos, scales=None, *,
     def run_layer(layer_params, x, layer_rng):
         return encoder_layer(layer_params, x, cfg, mask=mask,
                              adapter_num=adapter_num, train=train,
-                             rng=layer_rng, attention_fn=attention_fn)
+                             rng=layer_rng, attention_fn=attention_fn,
+                             return_attention=return_attention)
 
     if cfg.remat:
         run_layer = jax.checkpoint(run_layer)
 
+    attn_weights = []
+    layer_states = []
     for i in range(cfg.effective_num_layers):
         layer_rng = None
         if rng is not None:
             rng, layer_rng = jax.random.split(rng)
-        x = run_layer(layers[f"layer_{i}"], x, layer_rng)
+        x, attn_probs = run_layer(layers[f"layer_{i}"], x, layer_rng)
+        if return_attention:
+            attn_weights.append(attn_probs)
+        if return_layers:
+            layer_states.append(x)
 
     x = layer_norm(params["encoder"]["final_ln"], x)
     x = x.astype(jnp.float32)
     if tokens_only:
-        return x[:, :t]
+        x = x[:, :t]
+        if return_layers:
+            layer_states = [ls[:, :t] for ls in layer_states]
+    if return_attention or return_layers:
+        return x, attn_weights, layer_states
     return x
 
 
