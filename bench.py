@@ -87,9 +87,13 @@ def measure_jax():
         q.block_until_ready()
         return q
 
-    rng = np.random.default_rng(0)
+    # time-based seed: this environment's TPU service memoizes executions by
+    # (program, inputs) across processes — a fixed seed would replay a cached
+    # result instantly and report nonsense throughput
+    seed = int(time.time()) & 0x7FFFFFFF
+    rng = np.random.default_rng(seed)
     raw = jnp.asarray(rng.uniform(0, 1, (BATCH, 2, IMG_H, IMG_W, 3)), jnp.float32)
-    key = jax.random.PRNGKey(0)
+    key = jax.random.PRNGKey(seed)
 
     try:
         for w in range(WARMUP):
