@@ -323,3 +323,20 @@ class TestNativeLoaderPath:
         b2 = list(loader)
         for x, y in zip(b1, b2):
             np.testing.assert_allclose(x.imgs_raw, y.imgs_raw)
+
+    def test_pretransform_override_disables_native_path(self, tmp_path):
+        ds = make_tid(str(tmp_path))
+        ds.add_split(dataset_split("Testing", [0]))
+
+        # dataset subclass with a decode-time hook: must use the PIL path
+        ds.img_pretransform = None  # instance attr doesn't count; use subclass
+        class Hooked(type(ds)):
+            def img_pretransform(self, img):
+                return img * 0.5
+        hooked = Hooked(datasets_root=str(tmp_path))
+        hooked.add_split(dataset_split("Testing", [0]))
+        loader = PatchDatasetLoader(hooked, "Testing", batch_size=2,
+                                    patch_count=16, shuffle=False, prefetch=0)
+        assert not loader._use_native_batch_decode()
+        batch = next(iter(loader))
+        assert batch.imgs_raw.max() <= 0.5 + 1e-6  # hook applied

@@ -186,12 +186,17 @@ class PatchFRIQADataset(IQADataset):
     def __len__(self):
         return len(self.qs)
 
+    def img_pretransform(self, img: np.ndarray) -> np.ndarray:
+        """Subclass hook applied right after decode (reference
+        patch_datasets.py:357-359; identity in the base class)."""
+        return img
+
     def get_img(self, path: str, is_ref_img: bool = False) -> np.ndarray:
         use_cache = ((is_ref_img and self.use_ref_img_cache) or
                      (not is_ref_img and self.use_dist_img_cache))
         if use_cache and self._img_cache is not None and path in self._img_cache:
             return self._img_cache[path]
-        img = imread(path, self.is_hdr)
+        img = self.img_pretransform(imread(path, self.is_hdr))
         if use_cache and self._img_cache is not None:
             self._img_cache[path] = img
         return img

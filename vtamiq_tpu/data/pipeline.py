@@ -111,6 +111,10 @@ class PatchDatasetLoader:
         if getattr(self.dataset, "use_ref_img_cache", False) or \
            getattr(self.dataset, "use_dist_img_cache", False):
             return False
+        # subclasses overriding the decode-time hook need the PIL path
+        if (type(self.dataset).img_pretransform
+                is not PatchFRIQADataset.img_pretransform):
+            return False
         try:
             from . import native_io
             return native_io.available()

@@ -391,6 +391,16 @@ def train():
     if mesh is not None:
         params = shard_params(params, mesh)
 
+    # model info: param table / FLOPs (reference train.py:786-789)
+    from ..models.utils import print_parameters, print_flops, save_model_params
+    log(f"Model {g['model']} info:")
+    if g["print_flops"]:
+        print_flops(cfg, C.dataloader_config_base[C.SPLIT_NAME_TRAIN][C.PATCH_COUNT],
+                    log=log)
+    print_parameters(params, full=g["print_params"] or is_debug, log=log)
+    if not is_debug:
+        save_model_params(params, output_dir)
+
     logger_run("Configuration completed.")
 
     w_mae = g["weight_mae_loss"]
