@@ -128,3 +128,23 @@ class TestAttentionFnIntegration:
                                 attention_fn=make_attention_fn(threshold=1))
         np.testing.assert_allclose(np.asarray(out_exact), np.asarray(out_flash),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestPallasGatherKernel:
+    def test_interpret_mode_exact(self):
+        """Experimental DMA gather kernel: exact vs manual slicing under the
+        Pallas interpreter (hardware lowering pending toolchain support)."""
+        from jax.experimental.pallas import tpu as pltpu
+        from vtamiq_tpu.ops.gather_kernel import pallas_gather_patches
+        rng = np.random.default_rng(0)
+        B, H, W, N, P = 2, 64, 96, 20, 16
+        imgs = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)), jnp.float32)
+        ti = jnp.asarray(rng.integers(0, H - P, (B, N)), jnp.int32)
+        tj = jnp.asarray(rng.integers(0, W - P, (B, N)), jnp.int32)
+        with pltpu.force_tpu_interpret_mode():
+            out = pallas_gather_patches(imgs, ti, tj, P, block_n=10)
+        ref = np.stack([
+            np.stack([np.asarray(imgs)[b, ti[b, i]:ti[b, i] + P,
+                                       tj[b, i]:tj[b, i] + P] for i in range(N)])
+            for b in range(B)])
+        np.testing.assert_array_equal(np.asarray(out), ref)
