@@ -340,3 +340,142 @@ class TestNativeLoaderPath:
         assert not loader._use_native_batch_decode()
         batch = next(iter(loader))
         assert batch.imgs_raw.max() <= 0.5 + 1e-6  # hook applied
+
+
+def make_kadis(root, num_entries=6):
+    base = os.path.join(root, "kadis700k")
+    os.makedirs(f"{base}/kadis700k/ref_imgs", exist_ok=True)
+    os.makedirs(f"{base}/kadis700k/dist_imgs", exist_ok=True)
+    rows = ["dist_img,ref_img,mdsi,x,y,z,vsi,fsim,a,sff,vtamiq"]
+    for i in range(num_entries):
+        ref = f"im{i}.bmp"
+        write_img(f"{base}/kadis700k/ref_imgs/{ref}", seed=i)
+        # distortion type tokens: gblur=1, jpeg=10; one gets type 15 (skipped)
+        dtype_name = "denoise" if i == 0 else ("gblur" if i % 2 else "jpeg")
+        dist = f"im{i}_{dtype_name}_{(i % 5) + 1}.bmp"
+        dnum = {"denoise": 15, "gblur": 1, "jpeg": 10}[dtype_name]
+        write_img(f"{base}/kadis700k/dist_imgs/im{i}_{dnum:02d}_{(i % 5) + 1:02d}.bmp",
+                  seed=50 + i)
+        rows.append(f"{dist},{ref},0.5,0,0,0,0.8,0.9,0,0.7,{0.1 * i:.2f}")
+    with open(f"{base}/kadis700k_vtamiq.csv", "w") as f:
+        f.write("\n".join(rows))
+
+
+class TestMoreParsers:
+    def test_kadis700k(self, tmp_path):
+        from vtamiq_tpu.data import KADIS700kDataset
+
+        class TinyKADIS(KADIS700kDataset):
+            num_ref_images = 5  # 6 entries - 1 skipped (type 15)
+            num_dist_images = 1
+
+            def __init__(self, **kw):
+                kw.setdefault("datasets_root", str(tmp_path))
+                super().__init__(**kw)
+
+        make_kadis(str(tmp_path))
+        ds = TinyKADIS(version=1)
+        assert len(ds) == 5  # denoise (type 15) row skipped
+        # VTAMIQ scores from the last column, no preprocessing by default
+        assert 0.09 < max(ds.qs) < 0.51
+        q, raw, _ = ds.get_sample(0)
+        assert raw[0].shape == (H, W, 3)
+
+    def test_tid2008(self, tmp_path):
+        from vtamiq_tpu.data import TID2008Dataset
+        base = os.path.join(str(tmp_path), "tid2008")
+        lines = []
+        for r in range(2):
+            write_img(f"{base}/reference_images/i{r:02d}.bmp", seed=r)
+            for d in range(3):
+                name = f"i{r:02d}_{d}.bmp"
+                write_img(f"{base}/distorted_images/{name}", seed=10 + d)
+                lines.append(f"{d + 1}.5 {name}")
+        os.makedirs(base, exist_ok=True)
+        with open(f"{base}/mos_with_names.txt", "w") as f:
+            f.write("\n".join(lines))
+
+        class TinyTID08(TID2008Dataset):
+            num_ref_images = 2
+            num_dist_images = 3
+
+            def __init__(self, **kw):
+                kw.setdefault("datasets_root", str(tmp_path))
+                super().__init__(**kw)
+
+        ds = TinyTID08()
+        assert len(ds) == 6
+        assert ds.name == "TID2008"
+
+    def test_pipal_test_unlabeled(self, tmp_path):
+        from vtamiq_tpu.data import PIPALTest
+        base = os.path.join(str(tmp_path), "PIPAL")
+        for r in range(2):
+            ref = f"A{r:04d}"
+            write_img(f"{base}/Test_Ref/{ref}.bmp", seed=r)
+            for d in range(2):
+                write_img(f"{base}/Test_Dist/{ref}_{d:02d}.bmp", seed=5 + d)
+
+        class TinyPIPALTest(PIPALTest):
+            num_ref_images = 2
+            num_dist_images = 2
+
+            def __init__(self, **kw):
+                kw.setdefault("datasets_root", str(tmp_path))
+                super().__init__(**kw)
+
+        ds = TinyPIPALTest()
+        assert len(ds) == 4
+        assert (ds.qs == -1).all()  # unlabeled placeholders preserved
+
+    def test_koniq_parser(self, tmp_path):
+        from vtamiq_tpu.data import KonIQ10kDataset
+        base = os.path.join(str(tmp_path), "koniq10k")
+        os.makedirs(f"{base}/1024x768", exist_ok=True)
+        rows = ['image_name,c1,c2,MOS']
+        for i in range(4):
+            name = f"k{i}.jpg"
+            write_img(f"{base}/1024x768/{name}", seed=i)
+            rows.append(f"{name},0,0,{2.0 + i}")
+        with open(f"{base}/koniq10k_scores_and_distributions.csv", "w") as f:
+            f.write("\n".join(rows))
+
+        class TinyKonIQ(KonIQ10kDataset):
+            def __init__(self, **kw):
+                kw.setdefault("datasets_root", str(tmp_path))
+                super().__init__(**kw)
+
+        ds = TinyKonIQ()
+        assert len(ds) == 4
+        assert ds.num_ref_images == 4
+        # NR-as-degenerate-FR: ref path == dist path
+        assert ds.paths_ref[0] == ds.paths_dist[0]
+        # MOS reversed: higher MOS -> lower q
+        assert ds.qs[3] < ds.qs[0]
+
+    def test_imagenet_normalization(self, tmp_path):
+        ds = make_tid(str(tmp_path))
+        ds.normalize_imagenet = True
+        mean, std = ds.get_norm_mean_std()
+        assert abs(mean[0] - 0.485) < 1e-6
+        q, raw, norm = ds.get_sample(0)
+        import numpy as _np
+        expected = (raw[0] - _np.asarray(mean, _np.float32)) / _np.asarray(std, _np.float32)
+        _np.testing.assert_allclose(norm[0], expected, atol=1e-6)
+
+    def test_hdr_exr_roundtrip(self, tmp_path):
+        import os as _os
+        _os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
+        import cv2
+        from vtamiq_tpu.data.imageio import imread
+        rng = np.random.default_rng(0)
+        hdr = rng.uniform(0, 87.0, (16, 24, 3)).astype(np.float32)
+        path = str(tmp_path / "img.exr")
+        try:
+            ok = cv2.imwrite(path, cv2.cvtColor(hdr, cv2.COLOR_RGB2BGR))
+        except cv2.error:
+            ok = False
+        if not ok:
+            pytest.skip("EXR write unsupported in this cv2 build")
+        out = imread(path, is_hdr=True)
+        np.testing.assert_allclose(out, hdr, rtol=1e-3)  # half-float storage
