@@ -281,3 +281,26 @@ class TestReturnAttention:
                                  compute_dtype=jnp.float32, return_attention=True)
         np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestL16Variant:
+    def test_l16_structure_and_forward(self):
+        """ViT-L/16 structural smoke: 1024 hidden, 16 heads; truncated to one
+        layer for CPU speed."""
+        cfg = get_vit_config(VIT_VARIANT_L16, num_keep_layers=1, num_extra_tokens=8)
+        assert cfg.hidden_size == 1024 and cfg.num_heads == 16
+        params = init_vit_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(0)
+        patches = jnp.asarray(rng.normal(size=(1, 8, 16, 16, 3)), jnp.float32)
+        pos = jnp.full((1, 8, 2), 0.25, jnp.float32)
+        out = vit_forward(params, cfg, patches, pos, compute_dtype=jnp.float32)
+        assert out.shape == (1, 9, 1024)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_l16_npz_load(self):
+        from test_models import make_fake_npz  # self-import ok in pytest
+        cfg = get_vit_config(VIT_VARIANT_L16, num_keep_layers=1, hidden_size=64,
+                             mlp_dim=128, num_heads=4)
+        npz = make_fake_npz(cfg)
+        params = load_vit_npz(npz, cfg, rng=jax.random.PRNGKey(0))
+        assert params["embeddings"]["pos_embeddings"].shape == (577, 64)

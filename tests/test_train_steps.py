@@ -243,3 +243,23 @@ class TestPUEncoding:
         v = np.asarray(pu21_encode_jnp(x))
         assert (np.diff(v) > 0).all()
         np.testing.assert_allclose(v, pu21_encode(np.asarray(x)), rtol=1e-4)
+
+
+class TestTensorParallelEquivalence:
+    def test_tp_matches_single_device(self):
+        """Pure tensor-parallel (model=2, data=1) eval must equal
+        single-device outputs: validates the Megatron-style shardings."""
+        params = init_vtamiq_params(jax.random.PRNGKey(0), CFG)
+        raw, qs = make_batch(b=2)
+        single = make_eval_step(CFG, PatchSampler(), ECFG, compute_dtype=jnp.float32)
+        _, q1 = single(params, raw, qs, jax.random.PRNGKey(3), LW)
+
+        mesh = make_mesh(data=1, model=2)
+        wrap = make_eval_step(CFG, PatchSampler(), ECFG,
+                              compute_dtype=jnp.float32, mesh=mesh)
+        step = wrap(params)
+        sp = shard_params(params, mesh)
+        sraw, sqs = shard_batch((raw, qs), mesh)
+        _, q2 = step(sp, sraw, sqs, jax.random.PRNGKey(3), LW)
+        np.testing.assert_allclose(np.asarray(q1), np.asarray(q2),
+                                   rtol=2e-4, atol=2e-4)
