@@ -65,3 +65,21 @@ class TestScorer:
         ref, dist = imgs(3)
         q = score_pair(ref, dist, cfg=SMALL_CFG, patch_count=16)
         assert np.isfinite(q)
+
+
+class TestMixedSizeBatch:
+    def test_buckets_by_size(self):
+        scorer = VTAMIQScorer(cfg=SMALL_CFG, patch_count=16)
+        r1, d1 = imgs(0, 64, 64)
+        r2, d2 = imgs(1, 64, 96)
+        qs = scorer.score_batch([r1, r2], [d1, d2])
+        assert qs.shape == (2,)
+        assert np.isfinite(qs).all()
+        assert len(scorer._pipelines) == 2  # one per size bucket
+
+    def test_mismatched_pair_raises(self):
+        scorer = VTAMIQScorer(cfg=SMALL_CFG, patch_count=16)
+        r1, _ = imgs(0, 64, 64)
+        _, d2 = imgs(1, 64, 96)
+        with pytest.raises(ValueError):
+            scorer.score_batch([r1], [d2])

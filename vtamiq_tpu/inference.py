@@ -98,20 +98,30 @@ class VTAMIQScorer:
 
     def score_batch(self, refs: Sequence[np.ndarray],
                     dists: Sequence[np.ndarray]) -> np.ndarray:
-        """Score aligned lists of reference/distorted images (same size,
-        float HWC in [0,1]). Predictions average over ``num_repeats``
-        patch resamples (reference eval-repeat semantics)."""
+        """Score aligned lists of reference/distorted images (float HWC in
+        [0,1]; each ref must match its dist's size, but pairs may differ in
+        size — they are bucketed per (H, W) and scored per bucket).
+        Predictions average over ``num_repeats`` patch resamples (reference
+        eval-repeat semantics)."""
         if len(refs) != len(dists):
             raise ValueError("refs and dists must have the same length.")
-        raw = np.stack([np.stack([r, d]) for r, d in zip(refs, dists)]).astype(np.float32)
-        b, _, h, w, _ = raw.shape
-        pipeline = self._pipeline(b, h, w)
+        buckets = {}
+        for i, (r, d) in enumerate(zip(refs, dists)):
+            if r.shape != d.shape:
+                raise ValueError(f"pair {i}: ref {r.shape} != dist {d.shape}")
+            buckets.setdefault(r.shape[:2], []).append(i)
 
-        outs = []
-        for _ in range(self.num_repeats):
-            self._key, sub = jax.random.split(self._key)
-            outs.append(np.asarray(pipeline(self.params, jnp.asarray(raw), sub), float))
-        return np.mean(outs, axis=0)
+        out = np.empty(len(refs), float)
+        for _size, idxs in buckets.items():
+            raw = np.stack([np.stack([refs[i], dists[i]]) for i in idxs]).astype(np.float32)
+            b, _, h, w, _ = raw.shape
+            pipeline = self._pipeline(b, h, w)
+            reps = []
+            for _ in range(self.num_repeats):
+                self._key, sub = jax.random.split(self._key)
+                reps.append(np.asarray(pipeline(self.params, jnp.asarray(raw), sub), float))
+            out[idxs] = np.mean(reps, axis=0)
+        return out
 
     def score_pair(self, ref: np.ndarray, dist: np.ndarray) -> float:
         """Score one ref/dist pair; returns a scalar quality score

@@ -93,6 +93,16 @@ def compute_num_pixels_for_patches(num_patches: Sequence[int], patch_dim: int = 
     return int(np.sum(pixels_per_patch * num_patches))
 
 
+def compute_num_pixels(patch_count: int, patch_num_scales: int,
+                       scale_num_samples_ratio: float = DEFAULT_NUM_SAMPLES_RATIO,
+                       patch_dim: int = 16) -> int:
+    """Pixel budget of a (patch_count, scales, ratio) config
+    (reference: compute_num_pixels, patch_sampling.py:414-416)."""
+    num_patches = compute_num_patches_per_scale(
+        patch_count, patch_num_scales, scale_num_samples_ratio)
+    return compute_num_pixels_for_patches(num_patches, patch_dim)
+
+
 # --------------------------------------------------------------------------
 # randomized Halton (vectorized radical inverse)
 # --------------------------------------------------------------------------
