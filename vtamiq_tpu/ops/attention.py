@@ -71,6 +71,11 @@ def blockwise_attention(q, k, v, mask: Optional[jnp.ndarray] = None,
     v_blocks = v.reshape(b, nk, block_k, h, d).transpose(1, 0, 2, 3, 4)
     m_blocks = kmask.reshape(b, nk, block_k).transpose(1, 0, 2)
 
+    # the scan body is rematerialized: without it, differentiating the scan
+    # stores the (B, H, S, BK) prob block of EVERY step — ~5 GB at the
+    # 5000-patch config — and training OOMs. Recomputing each block in the
+    # backward pass is the flash-backward memory/compute trade.
+    @jax.checkpoint
     def body(carry, blk):
         acc, m_run, l_run = carry
         kb, vb, mb = blk  # (B, BK, H, D), (B, BK)
