@@ -330,7 +330,7 @@ def train():
             pu_display_encode=bool(g["use_pu"]))
 
     steps_per_epoch = len(loader_train) if loader_train is not None else 1
-    optimizer, _sched = make_optimizer(g, steps_per_epoch)
+    optimizer, lr_schedule = make_optimizer(g, steps_per_epoch)
     opt_state = optimizer.init(params)
 
     # full resume: params + optimizer state + epoch (preemption recovery;
@@ -439,6 +439,12 @@ def train():
                 output_dir=output_dir,
                 checkpoint_every_n_batches=checkpoint_every_n_batches,
                 epoch=epoch, step=global_step_train, mesh=mesh)
+
+            if not is_debug and writer is not None:
+                # per-epoch LR scalar (reference train.py:570-572)
+                writer.add_scalar(C.SPLIT_NAME_TRAIN, "LR",
+                                  float(lr_schedule(global_step_train)), epoch,
+                                  force_add=True)
 
             is_best_so_far = best_spearman_train.add(correlations[SROCC_FIELD])
             if is_best_so_far:
