@@ -16,3 +16,7 @@ Layer map (mirrors SURVEY.md §1 of the reference, redesigned TPU-first):
 """
 
 __version__ = "0.1.0"
+
+# top-level convenience surface
+from .inference import VTAMIQScorer, score_pair  # noqa: E402,F401
+from .models.configs import VTAMIQConfig, ViTConfig, get_vit_config  # noqa: E402,F401
