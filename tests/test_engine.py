@@ -512,3 +512,20 @@ class TestEngineFreezeAndPeriodicCheckpoint:
         g["train_save_latest"] = False  # isolate the periodic path
         engine.train()
         assert os.path.isfile(os.path.join(g["output_dir_final"], "latest.npz"))
+
+
+class TestB8Variant:
+    def test_b8_patch_dim_end_to_end(self, config_sandbox, tmp_path):
+        """ViT-B/8: validate_configs derives patch_dim=8 and the pipeline
+        extracts 8x8 patches (flatten 8*8*3=192 -> hidden)."""
+        C = config_sandbox
+        setup_tiny_run(C, tmp_path)
+        g = C.global_config
+        g["do_train"] = True
+        g["do_val"] = False
+        g["do_test"] = False
+        g["num_epochs"] = 1
+        g["seed"] = 15
+        C.vit_config["variant"] = "ViT-B8"
+        engine.train()
+        assert C.dataset_config_base["patch_dim"] == 8

@@ -230,3 +230,37 @@ class TestGatherExtraction:
         p1, _, _ = jfn(imgs, jax.random.PRNGKey(0))
         p2, _, _ = jfn(imgs, jax.random.PRNGKey(0))
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
+
+
+class TestSamplerEdgeCases:
+    def test_weighted_all_mass_one_pixel(self):
+        """Degenerate probability map: all mass on one pixel must not crash
+        and must concentrate samples near it."""
+        key = jax.random.PRNGKey(0)
+        h, w, p, n = 64, 64, 16, 32
+        prob = jnp.zeros((h, w)).at[10, 50].set(1.0)
+        pos = np.asarray(sample_positions_weighted(key, prob, h, w, p, n))
+        assert pos.shape == (2, n)
+        assert (0 <= pos).all() and (pos[0] <= h - p).all() and (pos[1] <= w - p).all()
+        # the cell containing (10, 50) holds the entire budget
+        assert np.abs(pos[1].mean() - 50) < w / 2
+
+    def test_tiny_image_single_patch(self):
+        key = jax.random.PRNGKey(1)
+        pos = np.asarray(sample_positions_uniform(key, 17, 17, 16, 1))
+        assert pos.shape == (2, 1)
+        assert 0 <= pos[0, 0] <= 1 and 0 <= pos[1, 0] <= 1
+
+    def test_patch_count_equals_one_per_cell(self):
+        key = jax.random.PRNGKey(2)
+        h, w, p = 128, 128, 16
+        prob = jnp.full((h, w), 1.0 / (h * w))
+        pos = np.asarray(sample_positions_weighted(key, prob, h, w, p, 7))
+        assert pos.shape == (2, 7)
+
+    def test_extraction_patch_count_equal_image_capacity(self):
+        """patch_count equal to number of grid cells still yields exact N."""
+        key = jax.random.PRNGKey(3)
+        imgs = jnp.ones((2, 48, 48, 3))
+        patches, pos, _ = get_iqa_patches(imgs, imgs, key, 4, 16, PatchSampler(), 1)
+        assert patches.shape == (2, 4, 16, 16, 3)
