@@ -276,3 +276,49 @@ class TestMisc:
         st.tick(4)
         assert st.items_per_sec > 0
         assert "items/sec" in st.summary()
+
+
+class TestProfilingTrace:
+    def test_trace_writes_profile(self, tmp_path):
+        from vtamiq_tpu.utils.profiling import trace
+        import jax.numpy as jnp
+        with trace(str(tmp_path)):
+            _ = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+        # jax writes plugins/profile/<ts>/ under the logdir
+        found = list((tmp_path).rglob("*.pb")) + list((tmp_path).rglob("*.json.gz")) \
+            + list((tmp_path).rglob("*trace*"))
+        assert found, list(tmp_path.rglob("*"))
+
+
+class TestMatlabBridge:
+    def test_raises_cleanly_without_matlab(self):
+        from vtamiq_tpu.utils.matlab_bridge import MatlabWrapper
+        with pytest.raises(ImportError):
+            MatlabWrapper()
+
+
+class TestLogOnTaskComplete:
+    def test_logs_start_and_end(self):
+        from vtamiq_tpu.utils import LogOnTaskComplete, Logger
+        lines = []
+        logger = Logger(verbose=True)
+        logger.__call__ = None  # not used; use custom
+        class L:
+            verbose = True
+            def __call__(self, *a, **k):
+                lines.append(" ".join(str(x) for x in a))
+        with LogOnTaskComplete("mytask", logger=L()):
+            pass
+        assert any("mytask" in l and "started" in l for l in lines)
+        assert any("completed" in l for l in lines)
+
+    def test_logs_failure(self):
+        from vtamiq_tpu.utils import LogOnTaskComplete
+        lines = []
+        class L:
+            def __call__(self, *a, **k):
+                lines.append(" ".join(str(x) for x in a))
+        with pytest.raises(RuntimeError):
+            with LogOnTaskComplete("failtask", logger=L()):
+                raise RuntimeError("boom")
+        assert any("FAILED" in l for l in lines)
