@@ -263,3 +263,23 @@ class TestTensorParallelEquivalence:
         _, q2 = step(sp, sraw, sqs, jax.random.PRNGKey(3), LW)
         np.testing.assert_allclose(np.asarray(q1), np.asarray(q2),
                                    rtol=2e-4, atol=2e-4)
+
+
+class TestWeightedLoss:
+    def test_weighted_step_uses_weights(self):
+        params = init_vtamiq_params(jax.random.PRNGKey(0), CFG)
+        optimizer, _ = make_optimizer(GCONF, 1)
+        opt_state = optimizer.init(params)
+        mask = build_freeze_mask(params, False, None)
+        step_w = make_train_step(CFG, PatchSampler(), ECFG, optimizer,
+                                 weighted_loss=True, compute_dtype=jnp.float32)
+        raw, qs = make_batch(b=4)
+        key = jax.random.PRNGKey(0)
+        _, _, m1, _ = step_w(params, optimizer.init(params), mask, raw, qs, key,
+                             jnp.array([0.75, 1.0, 0.2]))
+        _, _, m2, _ = step_w(params, optimizer.init(params), mask, raw, qs, key,
+                             jnp.array([10.0, 1.0, 0.2]))
+        # same batch, same rng: only the MAE weight differs -> loss differs
+        assert abs(float(m1["loss"]) - float(m2["loss"])) > 1e-4
+        expect1 = 0.75 * float(m1["mae"]) + float(m1["rank"]) + 0.2 * float(m1["pears"])
+        assert abs(float(m1["loss"]) - expect1) < 1e-5

@@ -128,6 +128,14 @@ class VTAMIQScorer:
         (lower = better under the framework's training convention)."""
         return float(self.score_batch([ref], [dist])[0])
 
+    def compare(self, ref: np.ndarray, dist_a: np.ndarray,
+                dist_b: np.ndarray) -> float:
+        """Preference probability that dist_a is preferred over dist_b given
+        the shared reference: sigmoid(q_a - q_b) with lower q = better
+        (the reference's pairwise predict path, train.py:282-301)."""
+        qs = self.score_batch([ref, ref], [dist_a, dist_b])
+        return float(1.0 / (1.0 + np.exp(-(qs[1] - qs[0]))))
+
 
 def score_pair(ref: np.ndarray, dist: np.ndarray,
                checkpoint: Optional[str] = None, **kwargs) -> float:
