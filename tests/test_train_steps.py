@@ -275,9 +275,12 @@ class TestWeightedLoss:
                                  weighted_loss=True, compute_dtype=jnp.float32)
         raw, qs = make_batch(b=4)
         key = jax.random.PRNGKey(0)
-        _, _, m1, _ = step_w(params, optimizer.init(params), mask, raw, qs, key,
+        # params/opt_state are donated by the step; use fresh copies per call
+        p1 = init_vtamiq_params(jax.random.PRNGKey(0), CFG)
+        _, _, m1, _ = step_w(p1, optimizer.init(p1), mask, raw, qs, key,
                              jnp.array([0.75, 1.0, 0.2]))
-        _, _, m2, _ = step_w(params, optimizer.init(params), mask, raw, qs, key,
+        p2 = init_vtamiq_params(jax.random.PRNGKey(0), CFG)
+        _, _, m2, _ = step_w(p2, optimizer.init(p2), mask, raw, qs, key,
                              jnp.array([10.0, 1.0, 0.2]))
         # same batch, same rng: only the MAE weight differs -> loss differs
         assert abs(float(m1["loss"]) - float(m2["loss"])) > 1e-4
