@@ -82,6 +82,32 @@ def install_reference(path: str = REFERENCE_PATH) -> bool:
         sys.modules["skimage.util"] = skimage_util
         sys.modules["skimage.util.shape"] = skimage_util_shape
 
+    if "torchvision" not in sys.modules:
+        # stub: only needed so reference module imports resolve; the parity
+        # tests never execute the torchvision code paths
+        tv = types.ModuleType("torchvision")
+        tv_transforms = types.ModuleType("torchvision.transforms")
+        tv_functional = types.ModuleType("torchvision.transforms.functional")
+        tv_models = types.ModuleType("torchvision.models")
+
+        class _VGG16Weights:
+            class IMAGENET1K_V1:
+                @staticmethod
+                def transforms():
+                    class T:
+                        mean = [0.485, 0.456, 0.406]
+                        std = [0.229, 0.224, 0.225]
+                    return T()
+
+        tv_models.VGG16_Weights = _VGG16Weights
+        tv.transforms = tv_transforms
+        tv.models = tv_models
+        tv_transforms.functional = tv_functional
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv_transforms
+        sys.modules["torchvision.transforms.functional"] = tv_functional
+        sys.modules["torchvision.models"] = tv_models
+
     if path not in sys.path:
         sys.path.insert(0, path)
     return True

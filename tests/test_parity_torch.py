@@ -196,3 +196,44 @@ class TestVTAMIQParity:
         q_j = vtamiq_forward(params, cfg, jnp.asarray(patches), jnp.asarray(pos),
                              compute_dtype=jnp.float32)
         np.testing.assert_allclose(np.asarray(q_j), t2a(q_t), rtol=5e-4, atol=5e-4)
+
+
+class TestLossParity:
+    """Our jax losses vs the reference's torch loss functions on identical
+    inputs (train.py:325-395)."""
+
+    def test_rank_and_pears_match_reference(self):
+        import torch
+        import importlib
+        ref_train = importlib.import_module("train")
+
+        from vtamiq_tpu.ops.losses import rank_loss, pears_loss, mae_loss
+        rng = np.random.default_rng(7)
+        for trial in range(3):
+            d = rng.normal(size=10).astype(np.float32)
+            y = rng.uniform(0, 1, 10).astype(np.float32)
+            td, ty = torch.from_numpy(d), torch.from_numpy(y)
+
+            ref_rank = float(ref_train.rank_loss(td, ty, 10))
+            ref_pears = float(ref_train.pears_loss(td, ty))
+            ref_mae = float(ref_train.mae_loss(td, ty))
+
+            assert abs(float(rank_loss(jnp.asarray(d), jnp.asarray(y))) - ref_rank) < 1e-5
+            assert abs(float(pears_loss(jnp.asarray(d), jnp.asarray(y))) - ref_pears) < 1e-5
+            assert abs(float(mae_loss(jnp.asarray(d), jnp.asarray(y))) - ref_mae) < 1e-6
+
+    def test_loss_func_iqa_total_matches_reference(self):
+        import torch
+        import importlib
+        ref_train = importlib.import_module("train")
+        from vtamiq_tpu.ops.losses import loss_func_iqa
+        rng = np.random.default_rng(8)
+        d = rng.normal(size=8).astype(np.float32)
+        y = rng.uniform(0, 1, 8).astype(np.float32)
+        ref_total, ref_mae, ref_rank, ref_pears = ref_train.loss_func_iqa(
+            torch.from_numpy(d), torch.from_numpy(y), 8, "cpu", 0.75, 1.0, 0.2)
+        total, aux = loss_func_iqa(jnp.asarray(d), jnp.asarray(y))
+        assert abs(float(total) - float(ref_total)) < 1e-5
+        assert abs(float(aux["mae"]) - ref_mae) < 1e-6
+        assert abs(float(aux["rank"]) - ref_rank) < 1e-5
+        assert abs(float(aux["pears"]) - ref_pears) < 1e-5
