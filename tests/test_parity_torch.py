@@ -237,3 +237,35 @@ class TestLossParity:
         assert abs(float(aux["mae"]) - ref_mae) < 1e-6
         assert abs(float(aux["rank"]) - ref_rank) < 1e-5
         assert abs(float(aux["pears"]) - ref_pears) < 1e-5
+
+
+class TestCorrelationsParity:
+    def test_full_metric_dict_matches_reference(self):
+        """SROCC/KROCC/PLCC/RMSE (+ NOFIT) equal the reference's
+        compute_correlations on identical arrays (utils/misc/correlations.py)."""
+        import importlib
+        ref_cors = importlib.import_module("utils.misc.correlations")
+        from vtamiq_tpu.ops.correlations import compute_correlations
+        rng = np.random.default_rng(11)
+        a = rng.uniform(0, 1, 60)
+        b = np.clip(a + rng.normal(0, 0.15, 60), 0, 1.2)
+        ours = compute_correlations(a, b)
+        theirs = ref_cors.compute_correlations(a, b)
+        for field in ("SROCC", "KROCC", "PLCC_NOFIT", "RMSE_NOFIT"):
+            assert abs(ours[field] - theirs[field]) < 1e-9, field
+        # fitted PLCC/RMSE depend on the leastsq trajectory; same family,
+        # same initialization -> agree tightly
+        assert abs(ours["PLCC"] - theirs["PLCC"]) < 1e-6
+        assert abs(ours["RMSE"] - theirs["RMSE"]) < 1e-6
+
+    def test_fit_function_matches_reference(self):
+        import importlib
+        ref_cors = importlib.import_module("utils.misc.correlations")
+        from vtamiq_tpu.ops.fitting import FitFunction
+        rng = np.random.default_rng(12)
+        x = np.sort(rng.uniform(0, 1, 100))
+        y = 1.0 / (1.0 + np.exp(-6.0 * (x - 0.4))) + rng.normal(0, 0.01, 100)
+        ours = FitFunction(x, y)
+        theirs = ref_cors.FitFunction(x, y)
+        grid = np.linspace(0, 1, 50)
+        np.testing.assert_allclose(ours(grid), theirs(grid), rtol=1e-4, atol=1e-4)
