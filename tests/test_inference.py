@@ -87,13 +87,14 @@ class TestMixedSizeBatch:
 
 class TestCompare:
     def test_preference_matches_sigmoid_of_scores(self):
-        """compare() == sigmoid(q_b - q_a) of the same score_batch call
+        """compare(ref, a, b) == sigmoid(q_a - q_b) of the same score_batch
+        call — the default pairwise training convention preference_sigmoid
         (verified with a seed-matched scorer so patch draws align)."""
         ref, dist = imgs(0)
         s1 = VTAMIQScorer(cfg=SMALL_CFG, patch_count=16, seed=42)
         s2 = VTAMIQScorer(cfg=SMALL_CFG, patch_count=16, seed=42)
         p = s1.compare(ref, ref, dist)
         qs = s2.score_batch([ref, ref], [ref, dist])
-        expected = 1.0 / (1.0 + np.exp(-(qs[1] - qs[0])))
+        expected = 1.0 / (1.0 + np.exp(-(qs[0] - qs[1])))
         assert abs(p - expected) < 1e-5
         assert 0.0 <= p <= 1.0

@@ -55,7 +55,7 @@ def test_pipeline_learns_noise_ordering():
 
     # pre-training eval on a held-out graded batch
     raw_ev, qs_ev = make_graded_batch(rng, b=16)
-    _, qp0 = eval_step(params, raw_ev, qs_ev, jax.random.PRNGKey(99), lw)
+    _, qp0 = eval_step(params, raw_ev, qs_ev, jnp.asarray(16), jax.random.PRNGKey(99), lw)
     srocc_before = compute_correlations(
         np.asarray(qs_ev), np.asarray(qp0))[SROCC_FIELD]
 
@@ -63,9 +63,9 @@ def test_pipeline_learns_noise_ordering():
         raw, qs = make_graded_batch(rng)
         key, sub = jax.random.split(key)
         params, opt_state, metrics, _ = step(params, opt_state, mask,
-                                             raw, qs, sub, lw)
+                                             raw, qs, jnp.asarray(8), sub, lw)
 
-    _, qp1 = eval_step(params, raw_ev, qs_ev, jax.random.PRNGKey(99), lw)
+    _, qp1 = eval_step(params, raw_ev, qs_ev, jnp.asarray(16), jax.random.PRNGKey(99), lw)
     srocc_after = compute_correlations(
         np.asarray(qs_ev), np.asarray(qp1))[SROCC_FIELD]
 

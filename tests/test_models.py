@@ -304,3 +304,59 @@ class TestL16Variant:
         npz = make_fake_npz(cfg)
         params = load_vit_npz(npz, cfg, rng=jax.random.PRNGKey(0))
         assert params["embeddings"]["pos_embeddings"].shape == (577, 64)
+
+
+class TestAdapters:
+    """num_adapters>0 must engage adapter 0 in the forward graph by default
+    (reference forward_vit auto-selects adapter 0, backbone.py:54-57)."""
+
+    def _cfg(self, num_adapters):
+        vit = get_vit_config(num_keep_layers=2, num_extra_tokens=8,
+                             hidden_size=32, mlp_dim=64, num_heads=2,
+                             num_adapters=num_adapters)
+        return VTAMIQConfig(vit=vit, num_rgs=2, num_rcabs=2, ca_reduction=8)
+
+    def test_adapter_changes_forward(self):
+        cfg = self._cfg(1)
+        params = init_vtamiq_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(0)
+        patches = jnp.asarray(rng.normal(size=(2, 2, 8, 16, 16, 3)), jnp.float32)
+        pos = jnp.asarray(rng.uniform(0, 1, size=(2, 2, 8, 2)), jnp.float32)
+
+        q_default = vtamiq_forward(params, cfg, patches, pos, compute_dtype=jnp.float32)
+        q_off = vtamiq_forward(params, cfg, patches, pos, adapter_num=-1,
+                               compute_dtype=jnp.float32)
+        # freshly-initialized adapters are non-identity (random up/down)
+        assert not np.allclose(np.asarray(q_default), np.asarray(q_off))
+
+        # zero the adapter up-projections -> adapter becomes the identity,
+        # so the DEFAULT forward must now equal the adapter-off forward
+        # (proves adapter 0 is what makes them differ)
+        params2 = jax.tree_util.tree_map(lambda x: x, params)
+        for lname in params2["vit"]["encoder"]["layers"]:
+            ad = params2["vit"]["encoder"]["layers"][lname]["adapters"]["adapter_0"]
+            ad["attn"]["up"]["kernel"] = jnp.zeros_like(ad["attn"]["up"]["kernel"])
+            ad["mlp"]["up"]["kernel"] = jnp.zeros_like(ad["mlp"]["up"]["kernel"])
+            ad["attn"]["up"]["bias"] = jnp.zeros_like(ad["attn"]["up"]["bias"])
+            ad["mlp"]["up"]["bias"] = jnp.zeros_like(ad["mlp"]["up"]["bias"])
+        q_inert = vtamiq_forward(params2, cfg, patches, pos,
+                                 compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(q_inert), np.asarray(q_off),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_adapters_receive_gradients(self):
+        cfg = self._cfg(1)
+        params = init_vtamiq_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(1)
+        patches = jnp.asarray(rng.normal(size=(2, 2, 8, 16, 16, 3)), jnp.float32)
+        pos = jnp.asarray(rng.uniform(0, 1, size=(2, 2, 8, 2)), jnp.float32)
+
+        def loss(p):
+            return jnp.sum(vtamiq_forward(p, cfg, patches, pos,
+                                          compute_dtype=jnp.float32) ** 2)
+
+        grads = jax.grad(loss)(params)
+        g = grads["vit"]["encoder"]["layers"]["layer_0"]["adapters"]["adapter_0"]
+        total = sum(float(jnp.sum(jnp.abs(leaf)))
+                    for leaf in jax.tree_util.tree_leaves(g))
+        assert total > 0.0

@@ -156,3 +156,61 @@ class TestLosses:
 
     def test_pairwise_loss(self):
         assert abs(float(loss_func_pairwise(jnp.array([0.5]), jnp.array([1.0]))) - 0.5) < 1e-6
+
+
+class TestMaskedLosses:
+    """Padded batches (host pipeline repeats the last item) must produce the
+    same losses and gradients as the unpadded batch — the reference never
+    pads, so masked math on a padded batch IS reference parity."""
+
+    def _pad(self, d, y, pad=3):
+        dp = jnp.concatenate([d, jnp.repeat(d[-1:], pad)])
+        yp = jnp.concatenate([y, jnp.repeat(y[-1:], pad)])
+        return dp, yp
+
+    def test_masked_equal_unpadded(self, rng=None):
+        rng = np.random.default_rng(7)
+        d = jnp.asarray(rng.normal(size=5).astype(np.float32))
+        y = jnp.asarray(rng.uniform(size=5).astype(np.float32))
+        dp, yp = self._pad(d, y)
+        v = jnp.asarray(5)
+        assert abs(float(mae_loss(d, y)) - float(mae_loss(dp, yp, v))) < 1e-6
+        assert abs(float(mse_loss(d, y)) - float(mse_loss(dp, yp, v))) < 1e-6
+        assert abs(float(pears_loss(d, y)) - float(pears_loss(dp, yp, v))) < 1e-5
+        assert abs(float(rank_loss(d, y)) - float(rank_loss(dp, yp, v))) < 1e-5
+        t0, _ = loss_func_iqa(d, y)
+        t1, _ = loss_func_iqa(dp, yp, valid=v)
+        assert abs(float(t0) - float(t1)) < 1e-5
+
+    def test_masked_gradients_match_unpadded(self):
+        """d-gradients of the masked padded loss equal the unpadded gradients
+        on the real items and are exactly zero on the pad items."""
+        rng = np.random.default_rng(3)
+        d = jnp.asarray(rng.normal(size=6).astype(np.float32))
+        y = jnp.asarray(rng.uniform(size=6).astype(np.float32))
+        dp, yp = self._pad(d, y, pad=2)
+
+        g_ref = jax.grad(lambda dd: loss_func_iqa(dd, y)[0])(d)
+        g_pad = jax.grad(lambda dd: loss_func_iqa(dd, yp, valid=jnp.asarray(6))[0])(dp)
+        np.testing.assert_allclose(np.asarray(g_pad[:6]), np.asarray(g_ref),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(g_pad[6:]), 0.0)
+
+    def test_rank_loss_no_nan_at_zero_predictions(self):
+        """Predictions exactly 0.0 must not produce NaN (the (B,B) matrix
+        form divides by max(|d_i|,|d_j|) = 0 on such pairs; the guard keeps
+        the reference's loop semantics, which never hits 0/0 off-diagonal
+        unless both predictions are zero)."""
+        d = jnp.array([0.0, 0.0, 1.0])
+        y = jnp.array([0.1, 0.9, 0.5])
+        val = float(rank_loss(d, y))
+        assert np.isfinite(val)
+        g = jax.grad(lambda dd: rank_loss(dd, y))(d)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_pairwise_masked(self):
+        p = jnp.array([0.5, 0.7, 0.7])
+        t = jnp.array([1.0, 0.2, 0.2])
+        full = float(loss_func_pairwise(p[:2], t[:2]))
+        masked = float(loss_func_pairwise(p, t, valid=jnp.asarray(2)))
+        assert abs(full - masked) < 1e-6

@@ -189,3 +189,110 @@ class TestGetIqaPatchesParity:
         o_uv = np.asarray(ours_pos)
         assert t_uv.min() >= 0 and t_uv.max() < 1.0
         assert o_uv.min() >= 0 and o_uv.max() < 1.0
+
+
+def ks_statistic(a, b):
+    """Two-sample Kolmogorov-Smirnov statistic (max CDF gap)."""
+    import scipy.stats
+    return scipy.stats.ks_2samp(a, b).statistic
+
+
+class TestKSParity:
+    """Fine-grained distribution parity: per-axis two-sample KS statistic on
+    large-N draws (VERDICT round-1: coarse 4x4 histograms could hide a
+    moderate sampler shift that only shows up as SROCC drift)."""
+
+    def test_uniform_ks_per_axis(self):
+        import data.patch_sampling as ref_ps
+        h, w, p, n, reps = 192, 256, 16, 128, 60
+
+        key = jax.random.PRNGKey(11)
+        ours = []
+        for _ in range(reps):
+            key, sub = jax.random.split(key)
+            ours.append(np.asarray(sample_positions_uniform(sub, h, w, p, n)))
+        ours = np.concatenate(ours, axis=1)
+
+        np.random.seed(11)
+        theirs = []
+        for _ in range(reps):
+            theirs.append(ref_ps.stratified_grid_sampling(
+                h, w, p, p, sample_prob=np.ones((h, w)), num_samples=n,
+                grid_function_type=ref_ps.GRID_TYPE_PERTURBED_SIMPLE))
+        theirs = np.concatenate(theirs, axis=1)
+
+        # 7680 draws/side: KS stat ~0.01 is sampling noise; 0.02 bound
+        # detects any real shift in either marginal
+        assert ks_statistic(ours[0], theirs[0]) < 0.02
+        assert ks_statistic(ours[1], theirs[1]) < 0.02
+
+    def _weighted_draws(self, grid_type_ours, grid_type_theirs, prob, h, w, p,
+                        n, reps, seed):
+        import data.patch_sampling as ref_ps
+        key = jax.random.PRNGKey(seed)
+        ours = []
+        for _ in range(reps):
+            key, sub = jax.random.split(key)
+            ours.append(np.asarray(sample_positions_weighted(
+                sub, jnp.asarray(prob, jnp.float32), h, w, p, n,
+                grid_type=grid_type_ours)))
+        ours = np.concatenate(ours, axis=1)
+
+        np.random.seed(seed)
+        theirs = []
+        for _ in range(reps):
+            theirs.append(ref_ps.stratified_grid_sampling(
+                h, w, p, p, sample_prob=prob, num_samples=n,
+                grid_function_type=grid_type_theirs))
+        theirs = np.concatenate(theirs, axis=1)
+        return ours, theirs
+
+    def _gradient_prob(self, h, w):
+        # smooth non-uniform map: linear gradient left->right + vertical bump
+        x = np.linspace(0.2, 1.0, w)[None, :]
+        y = 1.0 + np.exp(-0.5 * ((np.arange(h) - h / 3) / (h / 6)) ** 2)[:, None]
+        prob = (x * y)
+        return prob / prob.sum()
+
+    def test_weighted_perturbed_ks_per_axis(self):
+        import data.patch_sampling as ref_ps
+        h, w, p, n, reps = 128, 128, 16, 200, 40
+        prob = self._gradient_prob(h, w)
+        ours, theirs = self._weighted_draws(
+            GRID_TYPE_PERTURBED, ref_ps.GRID_TYPE_PERTURBED,
+            prob, h, w, p, n, reps, seed=5)
+        # 8000 draws/side; the allocation rule differs (largest-remainder vs
+        # random dissolve) so allow slightly more than pure noise
+        assert ks_statistic(ours[0], theirs[0]) < 0.03
+        assert ks_statistic(ours[1], theirs[1]) < 0.03
+
+    def test_weighted_halton_ks_per_axis(self):
+        import data.patch_sampling as ref_ps
+        from vtamiq_tpu.ops.sampling import GRID_TYPE_HALTON
+        h, w, p, n, reps = 128, 128, 16, 200, 40
+        prob = self._gradient_prob(h, w)
+        ours, theirs = self._weighted_draws(
+            GRID_TYPE_HALTON, ref_ps.GRID_TYPE_HALTON,
+            prob, h, w, p, n, reps, seed=6)
+        assert ks_statistic(ours[0], theirs[0]) < 0.03
+        assert ks_statistic(ours[1], theirs[1]) < 0.03
+
+    def test_weighted_fine_histogram(self):
+        """8x8 spatial histogram on the two-region map, tighter bound than
+        the round-1 4x4/0.02 test."""
+        import data.patch_sampling as ref_ps
+        h, w, p, n, reps = 128, 128, 16, 200, 40
+        prob = np.full((h, w), 0.1)
+        prob[:, : w // 2] = 1.0
+        prob /= prob.sum()
+        ours, theirs = self._weighted_draws(
+            GRID_TYPE_PERTURBED, ref_ps.GRID_TYPE_PERTURBED,
+            prob, h, w, p, n, reps, seed=7)
+        h_ours = spatial_histogram(ours, h, w, bins=8)
+        h_theirs = spatial_histogram(theirs, h, w, bins=8)
+        assert np.abs(h_ours - h_theirs).max() < 0.012, (
+            np.abs(h_ours - h_theirs).max())
+        # region mass: tighter than the round-1 0.06 bound
+        frac_ours = np.mean(ours[1] < w / 2)
+        frac_theirs = np.mean(theirs[1] < w / 2)
+        assert abs(frac_ours - frac_theirs) < 0.03, (frac_ours, frac_theirs)

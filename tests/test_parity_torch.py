@@ -269,3 +269,97 @@ class TestCorrelationsParity:
         theirs = ref_cors.FitFunction(x, y)
         grid = np.linspace(0, 1, 50)
         np.testing.assert_allclose(ours(grid), theirs(grid), rtol=1e-4, atol=1e-4)
+
+
+class TestSchedulerTrajectoryParity:
+    """Exact per-epoch LR trajectories vs torch.optim.lr_scheduler — the
+    reference steps LambdaLR/CosineAnnealingLR/MultiStepLR once per epoch
+    (train.py:26-119,578). Our schedule maps optimizer-update counts to the
+    SAME LR the reference would use during that epoch."""
+
+    def _torch_lrs(self, scheduler_ctor, lr, num_epochs):
+        import torch
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=lr)
+        sched = scheduler_ctor(opt)
+        lrs = []
+        for _ in range(num_epochs):
+            lrs.append(opt.param_groups[0]["lr"])  # LR used during this epoch
+            opt.step()
+            sched.step()
+        return lrs
+
+    def _our_lrs(self, conf, steps_per_epoch, num_epochs):
+        from vtamiq_tpu.train.optim import make_lr_schedule
+        s = make_lr_schedule(conf, steps_per_epoch)
+        # LR at the first update of each epoch (and assert it is constant
+        # within the epoch for per-epoch stepping)
+        lrs = []
+        for e in range(num_epochs):
+            first = float(s(e * steps_per_epoch))
+            last = float(s((e + 1) * steps_per_epoch - 1))
+            assert abs(first - last) < 1e-12
+            lrs.append(first)
+        return lrs
+
+    def _conf(self, **kw):
+        base = dict(optimizer="AdamW", optimizer_weight_decay=0.01,
+                    optimizer_learning_rate=5e-5,
+                    scheduler_step_per_batch=False,
+                    scheduler_type="lambda",
+                    optimizer_learning_rate_decay_lambda_goal=0.01,
+                    num_epochs=10,
+                    optimizer_decay_after_n_epochs=[3, 7],
+                    optimizer_learning_rate_decay_multistep=0.1,
+                    optimizer_learning_rate_decay_cosine=0.01,
+                    optimizer_sgd_momentum=0.9, optimizer_sgd_nesterov=True)
+        base.update(kw)
+        return base
+
+    def test_lambda_matches_torch_lambdalr(self):
+        import torch
+        conf = self._conf()
+        lr, n = 5e-5, 10
+        ratio = 0.01 ** (1.0 / n)
+        theirs = self._torch_lrs(
+            lambda o: torch.optim.lr_scheduler.LambdaLR(o, lambda s: ratio ** s),
+            lr, n)
+        ours = self._our_lrs(conf, steps_per_epoch=7, num_epochs=n)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-10)
+
+    def test_multistep_matches_torch(self):
+        import torch
+        conf = self._conf(scheduler_type="multistep")
+        lr, n = 5e-5, 10
+        theirs = self._torch_lrs(
+            lambda o: torch.optim.lr_scheduler.MultiStepLR(
+                o, milestones=[3, 7], gamma=0.1), lr, n)
+        ours = self._our_lrs(conf, steps_per_epoch=4, num_epochs=n)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-7)
+
+    def test_cosine_matches_torch(self):
+        import torch
+        conf = self._conf(scheduler_type="cosine")
+        lr, n = 5e-5, 10
+        theirs = self._torch_lrs(
+            lambda o: torch.optim.lr_scheduler.CosineAnnealingLR(
+                o, T_max=n, eta_min=0.01 * lr), lr, n)
+        ours = self._our_lrs(conf, steps_per_epoch=3, num_epochs=n)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-6)
+
+    def test_lambda_per_batch(self):
+        import torch
+        conf = self._conf(scheduler_step_per_batch=True, num_epochs=2)
+        from vtamiq_tpu.train.optim import make_lr_schedule
+        spe = 5
+        s = make_lr_schedule(conf, spe)
+        num_steps = 2 * spe
+        ratio = 0.01 ** (1.0 / num_steps)
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=5e-5)
+        sched = torch.optim.lr_scheduler.LambdaLR(opt, lambda st: ratio ** st)
+        for step in range(num_steps):
+            torch_lr = opt.param_groups[0]["lr"]
+            assert abs(float(s(step)) - torch_lr) < 1e-15, step
+            opt.step()
+            sched.step()

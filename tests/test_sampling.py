@@ -264,3 +264,124 @@ class TestSamplerEdgeCases:
         imgs = jnp.ones((2, 48, 48, 3))
         patches, pos, _ = get_iqa_patches(imgs, imgs, key, 4, 16, PatchSampler(), 1)
         assert patches.shape == (2, 4, 16, 16, 3)
+
+
+class TestNewDiffMaps:
+    """MSE + SSIM diff maps (README-advertised but unimplemented in the
+    reference, README.md:77; BASELINE.json config #2 names the SSIM map)."""
+
+    def _imgs(self, seed=0, h=48, w=64):
+        rng = np.random.default_rng(seed)
+        ref = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+        dist = np.clip(ref + rng.normal(0, 0.15, ref.shape), 0, 1).astype(np.float32)
+        return ref, dist
+
+    def test_mse_map(self):
+        from vtamiq_tpu.ops.sampling import compute_diff_map, DIFF_TYPE_MSE
+        ref, dist = self._imgs()
+        out = np.asarray(compute_diff_map(
+            jnp.stack([jnp.asarray(ref), jnp.asarray(dist)]), DIFF_TYPE_MSE))
+        expect = ((ref - dist) ** 2).sum(axis=-1)
+        np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-6)
+        assert out.shape == (48, 64)
+
+    def test_ssim_matches_independent_numpy(self):
+        """Uniform-window SSIM vs an independent numpy implementation with
+        skimage's defaults (win=7, k1=0.01, k2=0.03, unbiased covariance)."""
+        from vtamiq_tpu.ops.sampling import ssim_map
+        ref, dist = self._imgs(1)
+        got = np.asarray(ssim_map(jnp.asarray(ref), jnp.asarray(dist)))
+
+        def np_local_mean(x, win=7):
+            from scipy.ndimage import uniform_filter
+            # uniform_filter uses reflect; emulate our SAME+renormalize edges
+            pad = win // 2
+            s = np.zeros_like(x)
+            cnt = np.zeros(x.shape[:2])
+            padded = np.pad(x, [(pad, pad), (pad, pad)] + [(0, 0)] * (x.ndim - 2))
+            ones = np.pad(np.ones(x.shape[:2]), pad)
+            from numpy.lib.stride_tricks import sliding_window_view
+            sw = sliding_window_view(padded, (win, win), axis=(0, 1))
+            s = sw.sum(axis=(-2, -1))
+            cw = sliding_window_view(ones, (win, win))
+            cnt = cw.sum(axis=(-2, -1))
+            return s / (cnt[..., None] if x.ndim == 3 else cnt)
+
+        n = 49
+        cov_norm = n / (n - 1)
+        mu_r, mu_d = np_local_mean(ref), np_local_mean(dist)
+        var_r = cov_norm * (np_local_mean(ref * ref) - mu_r ** 2)
+        var_d = cov_norm * (np_local_mean(dist * dist) - mu_d ** 2)
+        cov = cov_norm * (np_local_mean(ref * dist) - mu_r * mu_d)
+        c1, c2 = 0.01 ** 2, 0.03 ** 2
+        s = ((2 * mu_r * mu_d + c1) * (2 * cov + c2) /
+             ((mu_r ** 2 + mu_d ** 2 + c1) * (var_r + var_d + c2)))
+        expect = s.mean(axis=-1)
+        np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-5)
+
+    def test_ssim_identical_images_is_one(self):
+        from vtamiq_tpu.ops.sampling import ssim_map
+        ref, _ = self._imgs(2)
+        s = np.asarray(ssim_map(jnp.asarray(ref), jnp.asarray(ref)))
+        np.testing.assert_allclose(s, 1.0, atol=1e-5)
+
+    def test_ssim_diff_map_highlights_distortion(self):
+        """Local distortion must produce larger SSIM-diff values in the
+        distorted region than in the clean region."""
+        from vtamiq_tpu.ops.sampling import compute_diff_map, DIFF_TYPE_SSIM
+        rng = np.random.default_rng(3)
+        ref = rng.uniform(0.2, 0.8, (64, 64, 3)).astype(np.float32)
+        dist = ref.copy()
+        dist[:32] = np.clip(dist[:32] + rng.normal(0, 0.3, dist[:32].shape), 0, 1)
+        out = np.asarray(compute_diff_map(
+            jnp.stack([jnp.asarray(ref), jnp.asarray(dist)]), DIFF_TYPE_SSIM))
+        assert out[:28].mean() > 5 * out[36:].mean()
+        assert out.min() >= 0.0 and out.max() <= 1.0
+
+    def test_ssim_sampler_end_to_end(self):
+        """A PatchSampler with the SSIM diff map samples mostly from the
+        distorted region (full CAPS path, jitted)."""
+        from vtamiq_tpu.ops.sampling import (
+            PatchSampler, DIFF_TYPE_SSIM, GRID_TYPE_PERTURBED)
+        rng = np.random.default_rng(4)
+        ref = rng.uniform(0.2, 0.8, (96, 96, 3)).astype(np.float32)
+        dist = ref.copy()
+        dist[:, 48:] = np.clip(dist[:, 48:] + rng.normal(0, 0.4, (96, 48, 3)), 0, 1)
+        sampler = PatchSampler(diff_weight=1.0, uniform_weight=0.05,
+                               grid_type=GRID_TYPE_PERTURBED,
+                               diff_type=DIFF_TYPE_SSIM)
+        imgs = jnp.stack([jnp.asarray(ref), jnp.asarray(dist)])
+        diff = sampler.compute_diff(imgs)
+
+        @jax.jit
+        def draw(key):
+            return sampler.sample(key, 96, 96, 16, 64, diff)
+
+        pos = np.concatenate([np.asarray(draw(jax.random.PRNGKey(i)))
+                              for i in range(8)], axis=1)
+        assert np.mean(pos[1] > 40) > 0.7  # mass concentrated right
+
+
+class TestRandomizePatchScaleOrder:
+    def test_shuffles_scales_consistently_across_images(self):
+        from vtamiq_tpu.ops.extraction import get_iqa_patches
+        from vtamiq_tpu.ops.sampling import PatchSampler
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 1, (128, 128, 3)).astype(np.float32)
+        imgs = jnp.stack([jnp.asarray(img), jnp.asarray(np.clip(img + 0.1, 0, 1))])
+
+        patches, pos, scales = get_iqa_patches(
+            imgs, imgs, jax.random.PRNGKey(0), 48, 16, PatchSampler(),
+            patch_num_scales=3, randomize_patch_scale_order=True)
+        s0 = np.asarray(scales[0])
+        # scales are interleaved, not sorted by scale
+        assert not np.all(np.diff(s0) >= 0)
+        # same permutation across images: scale sequences identical
+        np.testing.assert_array_equal(s0, np.asarray(scales[1]))
+        # per-scale budget preserved
+        p_sorted, _, scales_sorted = get_iqa_patches(
+            imgs, imgs, jax.random.PRNGKey(0), 48, 16, PatchSampler(),
+            patch_num_scales=3, randomize_patch_scale_order=False)
+        np.testing.assert_array_equal(
+            np.bincount(s0, minlength=3),
+            np.bincount(np.asarray(scales_sorted[0]), minlength=3))

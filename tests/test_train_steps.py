@@ -113,7 +113,7 @@ class TestTrainStep:
         first = None
         for i in range(8):
             params, opt_state, metrics, q_p = step(
-                params, opt_state, mask, raw, qs, key, LW)
+                params, opt_state, mask, raw, qs, jnp.asarray(6), key, LW)
             if first is None:
                 first = float(metrics["loss"])
         assert float(metrics["loss"]) < first
@@ -129,7 +129,7 @@ class TestTrainStep:
                                compute_dtype=jnp.float32)
         raw, qs = make_batch()
         params, opt_state, _, _ = step(params, opt_state, mask, raw, qs,
-                                       jax.random.PRNGKey(1), LW)
+                                       jnp.asarray(4), jax.random.PRNGKey(1), LW)
         np.testing.assert_array_equal(
             snap, np.asarray(params["vit"]["encoder"]["layers"]["layer_0"]
                              ["attn"]["query"]["kernel"]))
@@ -144,7 +144,7 @@ class TestTrainStep:
         raw, _ = make_batch(b=3, k=3)  # ref, distA, distB
         prefs = jnp.asarray([0.2, 0.5, 0.9])
         params, opt_state, metrics, q_p = step(
-            params, opt_state, mask, raw, prefs, jax.random.PRNGKey(0), LW)
+            params, opt_state, mask, raw, prefs, jnp.asarray(3), jax.random.PRNGKey(0), LW)
         assert q_p.shape == (3,)
         assert np.all((np.asarray(q_p) > 0) & (np.asarray(q_p) < 1))  # sigmoid output
 
@@ -152,10 +152,10 @@ class TestTrainStep:
         params = init_vtamiq_params(jax.random.PRNGKey(0), CFG)
         eval_step = make_eval_step(CFG, PatchSampler(), ECFG, compute_dtype=jnp.float32)
         raw, qs = make_batch()
-        m1, q1 = eval_step(params, raw, qs, jax.random.PRNGKey(7), LW)
-        m2, q2 = eval_step(params, raw, qs, jax.random.PRNGKey(7), LW)
+        m1, q1 = eval_step(params, raw, qs, jnp.asarray(4), jax.random.PRNGKey(7), LW)
+        m2, q2 = eval_step(params, raw, qs, jnp.asarray(4), jax.random.PRNGKey(7), LW)
         np.testing.assert_allclose(np.asarray(q1), np.asarray(q2))
-        m3, q3 = eval_step(params, raw, qs, jax.random.PRNGKey(8), LW)
+        m3, q3 = eval_step(params, raw, qs, jnp.asarray(4), jax.random.PRNGKey(8), LW)
         assert not np.allclose(np.asarray(q1), np.asarray(q3))  # patch resample
 
 
@@ -198,7 +198,7 @@ class TestSharding:
         raw, qs = make_batch(b=8)
         raw, qs = shard_batch((raw, qs), mesh)
         params, opt_state, metrics, q_p = step(
-            params, opt_state, mask, raw, qs, jax.random.PRNGKey(0), LW)
+            params, opt_state, mask, raw, qs, jnp.asarray(8), jax.random.PRNGKey(0), LW)
         assert np.isfinite(float(metrics["loss"]))
         assert q_p.shape == (8,)
 
@@ -207,7 +207,7 @@ class TestSharding:
         params = init_vtamiq_params(jax.random.PRNGKey(0), CFG)
         raw, qs = make_batch(b=8)
         single = make_eval_step(CFG, PatchSampler(), ECFG, compute_dtype=jnp.float32)
-        m1, q1 = single(params, raw, qs, jax.random.PRNGKey(3), LW)
+        m1, q1 = single(params, raw, qs, jnp.asarray(8), jax.random.PRNGKey(3), LW)
 
         mesh = make_mesh(data=8, model=1)
         wrap = make_eval_step(CFG, PatchSampler(), ECFG,
@@ -215,7 +215,7 @@ class TestSharding:
         step = wrap(params)
         sp = shard_params(params, mesh)
         sraw, sqs = shard_batch((raw, qs), mesh)
-        m2, q2 = step(sp, sraw, sqs, jax.random.PRNGKey(3), LW)
+        m2, q2 = step(sp, sraw, sqs, jnp.asarray(8), jax.random.PRNGKey(3), LW)
         np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), rtol=2e-4, atol=2e-4)
 
 
@@ -252,7 +252,7 @@ class TestTensorParallelEquivalence:
         params = init_vtamiq_params(jax.random.PRNGKey(0), CFG)
         raw, qs = make_batch(b=2)
         single = make_eval_step(CFG, PatchSampler(), ECFG, compute_dtype=jnp.float32)
-        _, q1 = single(params, raw, qs, jax.random.PRNGKey(3), LW)
+        _, q1 = single(params, raw, qs, jnp.asarray(2), jax.random.PRNGKey(3), LW)
 
         mesh = make_mesh(data=1, model=2)
         wrap = make_eval_step(CFG, PatchSampler(), ECFG,
@@ -260,7 +260,7 @@ class TestTensorParallelEquivalence:
         step = wrap(params)
         sp = shard_params(params, mesh)
         sraw, sqs = shard_batch((raw, qs), mesh)
-        _, q2 = step(sp, sraw, sqs, jax.random.PRNGKey(3), LW)
+        _, q2 = step(sp, sraw, sqs, jnp.asarray(2), jax.random.PRNGKey(3), LW)
         np.testing.assert_allclose(np.asarray(q1), np.asarray(q2),
                                    rtol=2e-4, atol=2e-4)
 
@@ -277,12 +277,27 @@ class TestWeightedLoss:
         key = jax.random.PRNGKey(0)
         # params/opt_state are donated by the step; use fresh copies per call
         p1 = init_vtamiq_params(jax.random.PRNGKey(0), CFG)
-        _, _, m1, _ = step_w(p1, optimizer.init(p1), mask, raw, qs, key,
+        _, _, m1, _ = step_w(p1, optimizer.init(p1), mask, raw, qs, jnp.asarray(4), key,
                              jnp.array([0.75, 1.0, 0.2]))
         p2 = init_vtamiq_params(jax.random.PRNGKey(0), CFG)
-        _, _, m2, _ = step_w(p2, optimizer.init(p2), mask, raw, qs, key,
+        _, _, m2, _ = step_w(p2, optimizer.init(p2), mask, raw, qs, jnp.asarray(4), key,
                              jnp.array([10.0, 1.0, 0.2]))
         # same batch, same rng: only the MAE weight differs -> loss differs
         assert abs(float(m1["loss"]) - float(m2["loss"])) > 1e-4
         expect1 = 0.75 * float(m1["mae"]) + float(m1["rank"]) + 0.2 * float(m1["pears"])
         assert abs(float(m1["loss"]) - expect1) < 1e-5
+
+
+class TestFreezeWPredictor:
+    def test_freeze_w_predictor_masks_pref_module(self):
+        from vtamiq_tpu.models.preference import init_preference_params
+        params = init_vtamiq_params(jax.random.PRNGKey(0), CFG)
+        params["pref_module"] = init_preference_params()
+        mask = build_freeze_mask(params, True, {
+            "freeze_dict_vit": {}, "freeze_w_predictor": True})
+        assert all(float(jnp.asarray(m)) == 0.0
+                   for m in jax.tree_util.tree_leaves(mask["pref_module"]))
+        # default (False, like freeze_dict_vtamiq): pref module trainable
+        mask2 = build_freeze_mask(params, True, {"freeze_dict_vit": {}})
+        assert all(float(jnp.asarray(m)) == 1.0
+                   for m in jax.tree_util.tree_leaves(mask2["pref_module"]))

@@ -167,12 +167,22 @@ class PatchDatasetLoader:
         rng = np.random.default_rng((self.seed, self._epoch))
         self._epoch += 1
         if self._use_native_batch_decode():
+            # Probe native decodability on the FIRST batch only: once a batch
+            # has been yielded, a later IOError must propagate (restarting the
+            # epoch here would duplicate already-yielded samples and break
+            # eval-repeat averaging downstream).
+            gen = self._produce_native(rng)
             try:
-                yield from self._produce_native(rng)
+                first = next(gen)
+            except StopIteration:
                 return
             except IOError:
                 # unsupported codec in this dataset -> PIL path below
                 rng = np.random.default_rng((self.seed, self._epoch - 1))
+            else:
+                yield first
+                yield from gen
+                return
         buckets: Dict[Tuple[int, int], list] = {}
         for index in self._epoch_indices(rng):
             q, imgs_raw, _ = self.dataset.get_sample(

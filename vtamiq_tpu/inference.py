@@ -131,10 +131,13 @@ class VTAMIQScorer:
     def compare(self, ref: np.ndarray, dist_a: np.ndarray,
                 dist_b: np.ndarray) -> float:
         """Preference probability that dist_a is preferred over dist_b given
-        the shared reference: sigmoid(q_a - q_b) with lower q = better
-        (the reference's pairwise predict path, train.py:282-301)."""
+        the shared reference: sigmoid(q_a - q_b), matching the default
+        pairwise training convention preference_sigmoid(q1, q2) =
+        sigmoid(q1 - q2) with q1 = score(ref, dist_a) (the reference's
+        pairwise predict path, train.py:282-301; our train/steps.py
+        _forward_scores)."""
         qs = self.score_batch([ref, ref], [dist_a, dist_b])
-        return float(1.0 / (1.0 + np.exp(-(qs[1] - qs[0]))))
+        return float(1.0 / (1.0 + np.exp(-(qs[0] - qs[1]))))
 
 
 def score_pair(ref: np.ndarray, dist: np.ndarray,

@@ -228,6 +228,7 @@ def vtamiq_forward(params, cfg: VTAMIQConfig, patches, pos, scales=None, *,
                    train: bool = False, rng: Optional[jax.Array] = None,
                    patch_mask: Optional[jnp.ndarray] = None,
                    compute_dtype=jnp.bfloat16,
+                   adapter_num: Optional[int] = None,
                    attention_fn=None) -> jnp.ndarray:
     """Predict quality scores for batched (ref, dist) patch pairs.
 
@@ -235,6 +236,9 @@ def vtamiq_forward(params, cfg: VTAMIQConfig, patches, pos, scales=None, *,
       patches: (B, 2, N, P, P, 3) — axis 1 is (reference, distorted).
       pos: (B, 2, N, 2) uv centers; scales: optional (B, 2, N) ints.
       patch_mask: optional (B, 2, N) bool validity.
+      adapter_num: Houlsby adapter index; None (default) auto-selects
+        adapter 0 whenever the ViT has adapters, matching the reference's
+        forward_vit default (backbone.py:54-57). Pass -1 to force them off.
 
     Returns q: (B,) fp32 quality scores (reference VTAMIQ.forward,
     vtamiq.py:94-119).
@@ -253,9 +257,13 @@ def vtamiq_forward(params, cfg: VTAMIQConfig, patches, pos, scales=None, *,
     flat_scales = scales.reshape(b * k, n) if scales is not None else None
     flat_mask = patch_mask.reshape(b * k, n) if patch_mask is not None else None
 
+    if adapter_num is None:
+        adapter_num = 0 if cfg.vit.num_adapters > 0 else -1
+
     feats = vit_forward(
         params["vit"], cfg.vit, flat_patches, flat_pos, flat_scales,
         tokens_only=True, train=train, rng=rng_vit, patch_mask=flat_mask,
+        adapter_num=adapter_num,
         compute_dtype=compute_dtype, attention_fn=attention_fn)  # (2B, T, H)
 
     feats = feats.reshape(b, k, cfg.vit.num_tokens, cfg.vit.hidden_size)

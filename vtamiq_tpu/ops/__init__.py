@@ -14,7 +14,8 @@ from .losses import (
 from .sampling import (
     PatchSampler,
     GRID_TYPE_HALTON, GRID_TYPE_PERTURBED, GRID_TYPE_PERTURBED_SIMPLE,
-    DIFF_TYPE_MAGNITUDE, DIFF_TYPE_DARK,
+    DIFF_TYPE_MAGNITUDE, DIFF_TYPE_DARK, DIFF_TYPE_MSE, DIFF_TYPE_SSIM,
+    ssim_map,
     DEFAULT_NUM_SAMPLES_RATIO,
     compute_patch_num_scales, compute_num_patches_per_scale,
     compute_diff_map, halton_2d,

@@ -83,6 +83,7 @@ def get_iqa_patches(
     patch_num_scales: int = 1,
     scale_num_samples_ratio: float = DEFAULT_NUM_SAMPLES_RATIO,
     use_aligned_patches: bool = True,
+    randomize_patch_scale_order: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
     """Sample + extract multiscale patches for a set of images.
 
@@ -93,6 +94,10 @@ def get_iqa_patches(
                RNG + TemporaryNumpySeed, patch_sampling.py:492).
       patch_count / patch_dim / patch_num_scales / scale_num_samples_ratio /
       use_aligned_patches: as in the reference (patch_sampling.py:450-482).
+      randomize_patch_scale_order: shuffle the final patch sequence so scales
+        interleave instead of being grouped (one shared permutation across
+        the K images, like the reference's patch_indices scatter,
+        patch_sampling.py:505-508,588-592).
 
     Returns:
       patches (K, N, P, P, 3), pos (K, N, 2) uv centers in [0,1),
@@ -112,6 +117,9 @@ def get_iqa_patches(
         patch_count, patch_num_scales, scale_num_samples_ratio)
     use_scales = patch_num_scales > 1
 
+    key_order = None
+    if randomize_patch_scale_order:
+        key, key_order = jax.random.split(key)
     diff = patch_sampler.compute_diff(imgs)
 
     patches_per_scale = []
@@ -161,4 +169,11 @@ def get_iqa_patches(
     patches = jnp.concatenate(patches_per_scale, axis=1)
     pos = jnp.concatenate(pos_per_scale, axis=1).astype(jnp.float32)
     scales = jnp.concatenate(scales_per_scale, axis=1) if use_scales else None
+
+    if randomize_patch_scale_order:
+        perm = jax.random.permutation(key_order, patches.shape[1])
+        patches = patches[:, perm]
+        pos = pos[:, perm]
+        if scales is not None:
+            scales = scales[:, perm]
     return patches, pos, scales

@@ -6,6 +6,12 @@ over all C(B,2) index pairs of GPU scalars (train.py:366-371 — a CPU-sync hot
 spot); here it is a single masked (B,B) matrix expression that XLA fuses into
 a handful of VPU ops.
 
+Every loss accepts an optional ``valid`` count: the host pipeline pads
+partial batches by repeating the last item (data/pipeline.py), and padded
+items must not contribute to gradients — the reference never pads (its final
+torch batch is simply smaller), so masked losses on a padded batch reproduce
+the reference's unpadded math exactly.
+
 Behavioral notes preserved from the reference (SURVEY.md §7 "parity traps"):
 - ``loss_func_iqa`` optimizes ``rank + pears`` only; MAE is computed for
   logging but NOT added to the optimized total, and the w_* loss weights are
@@ -23,31 +29,51 @@ RANK_LOSS_EPS = 1e-6
 PEARS_LOSS_EPS = 1e-6
 
 
-def mae_loss(d, y):
-    return jnp.mean(jnp.abs(d - y))
+def _valid_mask(n: int, valid, dtype=jnp.float32):
+    """(n,) 0/1 mask of real (non-padded) items; valid=None -> all ones."""
+    if valid is None:
+        return jnp.ones((n,), dtype)
+    return (jnp.arange(n) < valid).astype(dtype)
 
 
-def mse_loss(d, y):
-    return jnp.mean((d - y) ** 2)
+def mae_loss(d, y, valid=None):
+    if valid is None:
+        return jnp.mean(jnp.abs(d - y))
+    m = _valid_mask(d.shape[0], valid, d.dtype)
+    return jnp.sum(jnp.abs(d - y) * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
-def pears_loss(d, y, eps: float = PEARS_LOSS_EPS):
-    """1 - clamp(pearson(d, y), 0, 1) (reference: train.py:344-354)."""
-    dm = d - jnp.mean(d)
-    ym = y - jnp.mean(y)
+def mse_loss(d, y, valid=None):
+    if valid is None:
+        return jnp.mean((d - y) ** 2)
+    m = _valid_mask(d.shape[0], valid, d.dtype)
+    return jnp.sum((d - y) ** 2 * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def pears_loss(d, y, valid=None, eps: float = PEARS_LOSS_EPS):
+    """1 - clamp(pearson(d, y), 0, 1) (reference: train.py:344-354),
+    computed over the first ``valid`` items only."""
+    m = _valid_mask(d.shape[0], valid, jnp.float32)
+    count = jnp.maximum(jnp.sum(m), 1.0)
+    dm = (d - jnp.sum(d * m) / count) * m
+    ym = (y - jnp.sum(y * m) / count) * m
     norm_d = jnp.linalg.norm(dm) + eps
     norm_y = jnp.linalg.norm(ym) + eps
     r = jnp.dot(dm / norm_d, ym / norm_y)
     return 1.0 - jnp.clip(r, 0.0, 1.0)
 
 
-def rank_loss(d, y, eps: float = RANK_LOSS_EPS, norm_num: bool = True):
-    """Pairwise hinge rank loss over all C(B,2) pairs, fully vectorized.
+def rank_loss(d, y, valid=None, eps: float = RANK_LOSS_EPS, norm_num: bool = True):
+    """Pairwise hinge rank loss over all C(valid,2) pairs, fully vectorized.
 
     Per pair (i, j):
         rl = max(0, -(y_i - y_j) * (d_i - d_j) / (|y_i - y_j| + eps))
         contribution = rl / max(|d_i|, |d_j|)
     Mean over pairs (reference semantics, train.py:357-376).
+
+    The division is guarded: at d_i == d_j == 0 the reference's loop computes
+    0/0 only off the i<j pairs it never visits; the (B,B) matrix form must
+    mask BEFORE dividing or the diagonal's 0/0 NaN would poison gradients.
     """
     d = jnp.asarray(d)
     y = jnp.asarray(y)
@@ -60,11 +86,19 @@ def rank_loss(d, y, eps: float = RANK_LOSS_EPS, norm_num: bool = True):
     rl = jnp.maximum(0.0, -dy * dd / (jnp.abs(dy) + eps))
     dp = jnp.abs(d)
     denom = jnp.maximum(dp[:, None], dp[None, :])   # max(|d_i|, |d_j|)
-    # upper-triangular mask selects each unordered pair once (i < j)
+    # upper-triangular mask selects each unordered pair once (i < j);
+    # padded items are excluded on both sides of the pair
     mask = jnp.triu(jnp.ones((n, n), dtype=d.dtype), k=1)
-    loss = jnp.sum(rl / denom * mask)
+    if valid is not None:
+        m = _valid_mask(n, valid, d.dtype)
+        mask = mask * m[:, None] * m[None, :]
+    loss = jnp.sum(jnp.where(mask > 0, rl / jnp.maximum(denom, eps), 0.0))
     if norm_num:
-        loss = loss / max(1, n * (n - 1) // 2)
+        if valid is None:
+            loss = loss / max(1, n * (n - 1) // 2)
+        else:
+            v = jnp.asarray(valid)
+            loss = loss / jnp.maximum(1, v * (v - 1) // 2).astype(d.dtype)
     return loss
 
 
@@ -80,16 +114,17 @@ def spearman_loss(x, y):
 
 
 def loss_func_iqa(d, y, w_mae_loss: float = 0.75, w_rank_loss: float = 1.0,
-                  w_pears_loss: float = 0.2, weighted: bool = False):
+                  w_pears_loss: float = 0.2, weighted: bool = False,
+                  valid=None):
     """IQA loss: returns (optimized_loss, aux dict of component values).
 
     Default (reference behavior): optimized = rank + pears; MAE logged only,
     weights ignored. With ``weighted=True``: optimized =
-    w_mae*mae + w_rank*rank + w_pears*pears.
+    w_mae*mae + w_rank*rank + w_pears*pears. ``valid`` masks padded items.
     """
-    mae_value = mae_loss(d, y)
-    rank_value = rank_loss(d, y)
-    pears_value = pears_loss(d, y)
+    mae_value = mae_loss(d, y, valid)
+    rank_value = rank_loss(d, y, valid)
+    pears_value = pears_loss(d, y, valid)
     if weighted:
         total = w_mae_loss * mae_value + w_rank_loss * rank_value + w_pears_loss * pears_value
     else:
@@ -98,6 +133,6 @@ def loss_func_iqa(d, y, w_mae_loss: float = 0.75, w_rank_loss: float = 1.0,
     return total, aux
 
 
-def loss_func_pairwise(p_pred, p_label):
+def loss_func_pairwise(p_pred, p_label, valid=None):
     """Pairwise-preference loss: MAE only (reference: train.py:526-528)."""
-    return mae_loss(p_pred, p_label)
+    return mae_loss(p_pred, p_label, valid)

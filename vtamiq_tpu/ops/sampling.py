@@ -42,6 +42,15 @@ GRID_TYPE_PERTURBED_SIMPLE = 2
 
 DIFF_TYPE_MAGNITUDE = 0
 DIFF_TYPE_DARK = 1
+# The reference README advertises MSE/SSIM perceptual-difference maps
+# (README.md:77) but never implements them (patch_sampling.py:136-171 has only
+# MAGNITUDE and DARK). These two are new capability, beyond the reference:
+DIFF_TYPE_MSE = 2
+DIFF_TYPE_SSIM = 3
+
+SSIM_WIN = 7          # skimage structural_similarity default window
+SSIM_C1 = 0.01 ** 2   # (k1 * L)^2 with L = 1.0
+SSIM_C2 = 0.03 ** 2
 
 DEFAULT_NUM_SAMPLES_RATIO = 1.7
 GRID_TYPE_PERTURBED_AMOUNT = 0.2
@@ -131,6 +140,41 @@ def halton_2d(indices: jnp.ndarray) -> jnp.ndarray:
 # probability maps
 # --------------------------------------------------------------------------
 
+def local_mean(x: jnp.ndarray, win: int) -> jnp.ndarray:
+    """Normalized uniform-window local mean over the leading two axes of an
+    (H, W, ...) array, SAME padding with edge renormalization (divide by the
+    per-pixel count of in-bounds window elements)."""
+    dims = (win, win) + (1,) * (x.ndim - 2)
+    strides = (1,) * x.ndim
+    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims, strides, "SAME")
+    ones = jnp.ones(x.shape[:2] + (1,) * (x.ndim - 2), x.dtype)
+    count = jax.lax.reduce_window(ones, 0.0, jax.lax.add, dims, strides, "SAME")
+    return summed / count
+
+
+def ssim_map(ref: jnp.ndarray, dist: jnp.ndarray, win: int = SSIM_WIN,
+             c1: float = SSIM_C1, c2: float = SSIM_C2) -> jnp.ndarray:
+    """Per-pixel SSIM between two (H, W, C) images in [0,1], uniform window
+    (skimage structural_similarity defaults: win=7, k1=0.01, k2=0.03,
+    sample covariance normalization N/(N-1)); channels averaged -> (H, W).
+    Jittable: local statistics via lax.reduce_window means.
+    """
+    n = win * win
+    cov_norm = n / (n - 1.0)  # skimage's unbiased sample covariance
+    mu_r = local_mean(ref, win)
+    mu_d = local_mean(dist, win)
+    mu_rr = local_mean(ref * ref, win)
+    mu_dd = local_mean(dist * dist, win)
+    mu_rd = local_mean(ref * dist, win)
+    var_r = cov_norm * (mu_rr - mu_r * mu_r)
+    var_d = cov_norm * (mu_dd - mu_d * mu_d)
+    cov = cov_norm * (mu_rd - mu_r * mu_d)
+    num = (2 * mu_r * mu_d + c1) * (2 * cov + c2)
+    den = (mu_r * mu_r + mu_d * mu_d + c1) * (var_r + var_d + c2)
+    s = num / den
+    return jnp.mean(s, axis=-1) if s.ndim == 3 else s
+
+
 def compute_diff_map(imgs: jnp.ndarray, diff_type: int = DIFF_TYPE_MAGNITUDE,
                      diff_pow: float = 1.0) -> jnp.ndarray:
     """Perceptual-difference sampling map over (K, H, W, 3) pre-normalized
@@ -139,7 +183,11 @@ def compute_diff_map(imgs: jnp.ndarray, diff_type: int = DIFF_TYPE_MAGNITUDE,
 
     MAGNITUDE: mean |ref - dist| over distorted images, then squared-L2 over
     RGB and power diff_pow/2. DARK: Gaussian-of-darkness weighting of the
-    reference image.
+    reference image. MSE: per-pixel squared error averaged over distorted
+    images, summed over RGB. SSIM: windowed structural DISsimilarity
+    (1 - SSIM)/2, averaged over distorted images. MSE and SSIM are the
+    README-advertised-but-unimplemented reference options (README.md:77),
+    provided here as working capability (BASELINE.json config #2).
     """
     if diff_type == DIFF_TYPE_MAGNITUDE:
         ref = imgs[0]
@@ -147,6 +195,17 @@ def compute_diff_map(imgs: jnp.ndarray, diff_type: int = DIFF_TYPE_MAGNITUDE,
     elif diff_type == DIFF_TYPE_DARK:
         sigma = 0.1
         diff = jnp.exp(-0.5 * (imgs[0] / sigma) ** 2)
+    elif diff_type == DIFF_TYPE_MSE:
+        ref = imgs[0]
+        sq = jnp.mean((ref[None] - imgs[1:]) ** 2, axis=0)      # (H, W, 3)
+        diff = jnp.sum(sq, axis=-1)                             # (H, W)
+        return jnp.power(diff, diff_pow)
+    elif diff_type == DIFF_TYPE_SSIM:
+        ref = imgs[0]
+        dssim = jnp.stack([(1.0 - ssim_map(ref, imgs[k])) * 0.5
+                           for k in range(1, imgs.shape[0])])
+        diff = jnp.clip(jnp.mean(dssim, axis=0), 0.0, 1.0)      # (H, W)
+        return jnp.power(diff, diff_pow)
     else:
         raise ValueError(f"Unsupported diff type [{diff_type}]")
 
@@ -184,13 +243,59 @@ def centerbias_prob(template_logdensity: jnp.ndarray, h: int, w: int) -> jnp.nda
 
 def _largest_remainder_alloc(probs: jnp.ndarray, num_samples: int) -> jnp.ndarray:
     """Apportion exactly ``num_samples`` across cells proportionally to
-    ``probs`` (flat, sums to 1). Deterministic largest-remainder rounding —
-    the static-shape replacement for the reference's random-dissolve loop."""
+    ``probs`` (flat, sums to 1), by deterministic largest-remainder rounding.
+
+    NOTE: exactly proportional — which the reference's allocation is NOT; see
+    :func:`_dissolve_alloc` (used by the weighted sampler) for the
+    reference-matching rule. Kept for callers that want unbiased
+    apportionment."""
     target = probs * num_samples
     base = jnp.floor(target).astype(jnp.int32)
     remainder = target - base
     deficit = num_samples - jnp.sum(base)  # in [0, num_cells)
     order = jnp.argsort(-remainder)  # cells by descending fractional part
+    rank_of_cell = jnp.argsort(order)
+    extra = (rank_of_cell < deficit).astype(jnp.int32)
+    return base + extra
+
+
+def _dissolve_alloc(key: jax.Array, probs: jnp.ndarray, num_samples: int,
+                    passes: int = 12) -> jnp.ndarray:
+    """Reference-matching cell allocation: ceil(p*N) then "random dissolve"
+    removal weighted toward LOW-count cells (patch_sampling.py:277-294).
+
+    The reference's while-loop is data-dependent; here each pass removes the
+    EXPECTED per-cell amount of one reference adjustment round
+    (P(cell hit >= once in D draws) = 1 - (1 - p_adjust)^D, matching the
+    only-one-adjustment-per-pass indexing note at patch_sampling.py:292), on
+    real-valued counts, unrolled a fixed ``passes`` times. The real totals are
+    then integerized to exactly N with remainder-weighted random rounding
+    (Gumbel top-k), preserving both the expectation and the reference's
+    draw-to-draw variability for fractional cells.
+
+    Verified against the reference empirically: mean per-cell counts match
+    within Monte-Carlo noise (tests/test_parity_sampling.py TestKSParity).
+    """
+    c = jnp.ceil(probs * num_samples)
+    for _ in range(passes):
+        total = jnp.sum(c)
+        d = total - num_samples
+        pa = c / total
+        pa = (jnp.max(pa) + 1e-3) - pa
+        pa = pa / jnp.sum(pa)
+        expected_removal = 1.0 - (1.0 - pa) ** d
+        expected_removal = jnp.minimum(expected_removal, c)
+        s = jnp.sum(expected_removal)
+        expected_removal = expected_removal * jnp.minimum(1.0, d / jnp.maximum(s, 1e-9))
+        c = jnp.where(d > 0, c - expected_removal, c)
+    # force exact total before integerizing (guards non-converged edge cases)
+    c = c * (num_samples / jnp.maximum(jnp.sum(c), 1e-9))
+    base = jnp.floor(c).astype(jnp.int32)
+    rem = c - base
+    deficit = num_samples - jnp.sum(base)
+    gumbel = -jnp.log(-jnp.log(jax.random.uniform(key, rem.shape) + 1e-12) + 1e-12)
+    score = jnp.where(rem > 1e-9, jnp.log(rem + 1e-12) + gumbel, -jnp.inf)
+    order = jnp.argsort(-score)
     rank_of_cell = jnp.argsort(order)
     extra = (rank_of_cell < deficit).astype(jnp.int32)
     return base + extra
@@ -267,22 +372,35 @@ def _cell_prob_sums(sample_prob: jnp.ndarray, cell_size: int, sh: int, sw: int,
 
 def sample_positions_weighted(key: jax.Array, sample_prob: jnp.ndarray, h: int, w: int,
                               patch_dim: int, num_samples: int,
-                              grid_type: int = GRID_TYPE_PERTURBED) -> jnp.ndarray:
+                              grid_type: int = GRID_TYPE_PERTURBED,
+                              perturbed_amount: float = GRID_TYPE_PERTURBED_AMOUNT) -> jnp.ndarray:
     """Weighted stratified sampling: allocate the patch budget across a cell
-    grid proportionally to the probability map, then place samples within each
-    cell with a randomized Halton pattern. Returns (2, N) float top-left coords.
+    grid proportionally to the probability map, then place samples within
+    each cell. Returns (2, N) float top-left coords.
 
     TPU-first replacement for stratified_grid_sampling with a non-uniform
-    probability map (patch_sampling.py:224-395).
+    probability map (patch_sampling.py:224-395). Placement matches the
+    reference per grid type:
+
+    - HALTON: consecutive chunks of ONE global Halton sequence per cell
+      (patch_sampling.py:311,349-351) — sample k in allocation order takes
+      halton(k). A global Cranley-Patterson random shift decorrelates draws
+      (the reference instead relies on randomize_cell_order + the numpy seed).
+    - PERTURBED / PERTURBED_SIMPLE-with-weights: per-cell jittered grid of
+      width ceil(sqrt(n_cell)): each sample takes a distinct grid slot, plus
+      U(-1,1)*2*perturbed_amount jitter in slot units, plus a half-slot
+      offset (patch_sampling.py:355-365). Distinct slots come from
+      stratified-slot selection (rank r -> a random slot in stratum r of
+      width^2/n), replacing the reference's np.random.choice without
+      replacement — same uniform marginal, vectorized and shape-static.
     """
-    del grid_type  # HALTON and PERTURBED share the randomized-Halton placement
     cell_size, sh, sw = _cell_layout(h, w, patch_dim, num_samples)
     num_cells = sh * sw
 
-    key_shift, key_order = jax.random.split(key)
+    key_alloc, key_shift, key_slot, key_jit = jax.random.split(key, 4)
 
     cell_probs = _cell_prob_sums(sample_prob, cell_size, sh, sw, patch_dim).reshape(-1)
-    counts = _largest_remainder_alloc(cell_probs, num_samples)  # (C,)
+    counts = _dissolve_alloc(key_alloc, cell_probs, num_samples)  # (C,)
 
     # map each sample k to its cell + intra-cell rank, fully vectorized
     cum = jnp.cumsum(counts)
@@ -291,10 +409,29 @@ def sample_positions_weighted(key: jax.Array, sample_prob: jnp.ndarray, h: int, 
     start_of_cell = cum - counts
     rank_in_cell = k - start_of_cell[cell_of_k]
 
-    # randomized Halton within the cell: per-cell Cranley-Patterson shift
-    shifts = jax.random.uniform(key_shift, (2, num_cells))
-    base_pos = halton_2d(rank_in_cell)                      # (2, N)
-    pos01 = jnp.mod(base_pos + shifts[:, cell_of_k], 1.0)   # (2, N)
+    if grid_type == GRID_TYPE_HALTON:
+        # global Halton sequence chunked across cells in allocation order,
+        # with a global random shift (torus translation keeps discrepancy)
+        shift = jax.random.uniform(key_shift, (2, 1))
+        pos01 = jnp.mod(halton_2d(k) + shift, 1.0)              # (2, N)
+    else:
+        # per-cell jittered grid (PERTURBED family)
+        n_c = jnp.maximum(counts[cell_of_k], 1).astype(jnp.float32)   # (N,)
+        width = jnp.ceil(jnp.sqrt(n_c))                               # (N,)
+        slots = width * width
+        # stratified distinct-slot pick: rank r gets a uniform slot within
+        # [r*slots/n, (r+1)*slots/n)
+        stride = slots / n_c
+        u = jax.random.uniform(key_slot, (num_samples,))
+        slot = jnp.floor((rank_in_cell.astype(jnp.float32) + u) * stride)
+        slot = jnp.minimum(slot, slots - 1.0)
+        gi = jnp.floor(slot / width)   # row in [0, width)
+        gj = slot - gi * width         # col in [0, width)
+        jitter = (2.0 * jax.random.uniform(key_jit, (2, num_samples)) - 1.0) \
+            * 2.0 * perturbed_amount
+        pos_i01 = jnp.clip((gi + jitter[0]) / width + 0.5 / width, 0.0, 1.0)
+        pos_j01 = jnp.clip((gj + jitter[1]) / width + 0.5 / width, 0.0, 1.0)
+        pos01 = jnp.stack([pos_i01, pos_j01], axis=0)           # (2, N)
 
     # edge-cell rescale so partial edge cells stay inside the image
     # (reference: jcell_dec/icell_dec, patch_sampling.py:256-259,384-388)
@@ -390,4 +527,4 @@ class PatchSampler:
                                             self.perturbed_amount)
         prob = self.sample_prob(h, w, diff)
         return sample_positions_weighted(key, prob, h, w, patch_dim, num_samples,
-                                         self.grid_type)
+                                         self.grid_type, self.perturbed_amount)

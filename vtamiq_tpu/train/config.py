@@ -251,6 +251,9 @@ dataset_config_base = OrderedDict(
     normalize=True,
     normalize_imagenet=False,
     patch_sampling_num_scales_ratio=1.75,
+    # shuffle the final patch sequence across scales (reference
+    # get_iqa_patches kwarg, patch_sampling.py:458; never enabled there)
+    randomize_patch_scale_order=False,
     patch_sampler_config=OrderedDict(
         uniform_weight=0.1,
         grid_type=GRID_TYPE_PERTURBED_SIMPLE,

@@ -125,12 +125,14 @@ def do_training(train_step, params, opt_state, mask, loader, key,
         raw, qs = _batch_arrays(batch)
         if mesh is not None:
             raw, qs = shard_batch((raw, qs), mesh)
-        if batch.qs.shape[0] < 2:
-            log_warn("Batch size < 2; skipping current batch.")
+        if batch.valid < 2:
+            # qs.shape[0] is always batch_size after host padding; the REAL
+            # item count is batch.valid (reference skip guard, train.py:546)
+            log_warn("Batch has < 2 valid items; skipping current batch.")
             continue
 
         params, opt_state, metrics, q_p = train_step(
-            params, opt_state, mask, raw, qs, sub, lw)
+            params, opt_state, mask, raw, qs, jnp.asarray(batch.valid), sub, lw)
 
         v = batch.valid
         q_vals.append(np.asarray(batch.qs[:v], float))
@@ -178,7 +180,8 @@ def do_validation(eval_step, params, loader, key, loss_weights, *,
             raw, qs = _batch_arrays(batch)
             if mesh is not None:
                 raw, qs = shard_batch((raw, qs), mesh)
-            metrics, q_p = eval_step(params, raw, qs, sub, lw)
+            metrics, q_p = eval_step(params, raw, qs, jnp.asarray(batch.valid),
+                                     sub, lw)
 
             v = batch.valid
             ys.append(np.asarray(batch.qs[:v], float))
@@ -325,6 +328,8 @@ def train():
             scale_num_samples_ratio=C.dataset_config_base["patch_sampling_num_scales_ratio"],
             use_aligned_patches=bool(
                 C.dataloader_config_base[split][C.USE_ALIGNED_PATCHES]),
+            randomize_patch_scale_order=bool(
+                C.dataset_config_base.get("randomize_patch_scale_order", False)),
             norm_mean=tuple(norm_mean) if norm_mean is not None else None,
             norm_std=tuple(norm_std) if norm_std is not None else None,
             pu_display_encode=bool(g["use_pu"]))

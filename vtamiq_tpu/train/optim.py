@@ -151,6 +151,11 @@ def build_freeze_mask(params: Dict, freeze_state: bool,
         mask["quality_decoder"] = _mask_subtree(params["quality_decoder"], 0.0)
     if flag(fd, "freeze_q_predictor", False) and "q_predictor" in params:
         mask["q_predictor"] = _mask_subtree(params["q_predictor"], 0.0)
+    # NOTE: the reference threads freeze_w_predictor through freeze_dict_vtamiq
+    # (train_config.py:261) but its set_freeze_state never reads it
+    # (vtamiq.py:81-92) — the flag is dead there. We honor it (docs/PARITY.md).
+    if flag(fd, "freeze_w_predictor", False) and "pref_module" in params:
+        mask["pref_module"] = _mask_subtree(params["pref_module"], 0.0)
 
     return mask
 

@@ -47,6 +47,8 @@ class ExtractConfig:
     patch_num_scales: int = 1
     scale_num_samples_ratio: float = DEFAULT_NUM_SAMPLES_RATIO
     use_aligned_patches: bool = True
+    randomize_patch_scale_order: bool = False  # shuffle the final patch
+    # sequence across scales (reference patch_sampling.py:505-508)
     norm_mean: Optional[Tuple[float, float, float]] = (0.5, 0.5, 0.5)
     norm_std: Optional[Tuple[float, float, float]] = (0.5, 0.5, 0.5)
     gather_dtype: str = "bfloat16"  # dtype of the normalized image fed to the
@@ -67,11 +69,14 @@ def make_extract_fn(sampler: PatchSampler, ecfg: ExtractConfig) -> Callable:
 
     gather_dtype = jnp.dtype(ecfg.gather_dtype)
     if ecfg.pu_display_encode:
-        from ..utils.color_spaces import pu21_encode_jnp
+        from ..utils.color_spaces import pu21_encode_jnp, srgb_to_linear_jnp
 
         def normalize(raw):
-            # per-channel SDR display model then PU21, rescaled to ~[0,1]
-            lum = (ecfg.pu_peak_luminance - 0.5) * raw + 0.5
+            # per-channel sRGB->linear, SDR display model, PU21, rescaled to
+            # ~[0,1] — matches the host-side pu_encode_srgb reference
+            # (utils/color_spaces.py:142-152)
+            lin = srgb_to_linear_jnp(raw)
+            lum = (ecfg.pu_peak_luminance - 0.5) * lin + 0.5
             pu = pu21_encode_jnp(lum)
             peak = pu21_encode_jnp(jnp.asarray(ecfg.pu_peak_luminance))
             return (pu / peak).astype(gather_dtype)
@@ -86,7 +91,7 @@ def make_extract_fn(sampler: PatchSampler, ecfg: ExtractConfig) -> Callable:
         return get_iqa_patches(
             raw, normalize(raw), key, ecfg.patch_count, ecfg.patch_dim, sampler,
             ecfg.patch_num_scales, ecfg.scale_num_samples_ratio,
-            ecfg.use_aligned_patches)
+            ecfg.use_aligned_patches, ecfg.randomize_patch_scale_order)
 
     def extract(imgs_raw, key):
         b = imgs_raw.shape[0]
@@ -139,18 +144,22 @@ def make_train_step(cfg: VTAMIQConfig, sampler: PatchSampler, ecfg: ExtractConfi
                     mesh: Optional[Mesh] = None) -> Callable:
     """Build the fused jitted train step.
 
-    step(params, opt_state, mask, imgs_raw, qs, key, loss_weights)
+    step(params, opt_state, mask, imgs_raw, qs, valid, key, loss_weights)
       -> (params, opt_state, metrics dict, q_pred)
 
     ``mask`` is the 0/1 freeze mask (data, not static — unfreeze never
-    retraces). ``loss_weights`` = (w_mae, w_rank, w_pears) traced scalars.
-    Long patch sequences automatically use the Pallas flash-attention kernel.
+    retraces). ``valid`` is the traced count of real items in the batch:
+    the host pipeline pads partial batches by repeating the last item, and
+    padded items are masked out of every loss term (the reference never pads;
+    its final torch batch is simply smaller). ``loss_weights`` =
+    (w_mae, w_rank, w_pears) traced scalars. Long patch sequences
+    automatically use the Pallas flash-attention kernel.
     """
     extract = make_extract_fn(sampler, ecfg)
     attention_fn = (make_attention_fn()
                     if ecfg.patch_count >= FLASH_ATTENTION_THRESHOLD else None)
 
-    def step(params, opt_state, mask, imgs_raw, qs, key, loss_weights):
+    def step(params, opt_state, mask, imgs_raw, qs, valid, key, loss_weights):
         key_sample, key_model = jax.random.split(key)
         patches, pos, scales = extract(imgs_raw, key_sample)
 
@@ -159,11 +168,12 @@ def make_train_step(cfg: VTAMIQConfig, sampler: PatchSampler, ecfg: ExtractConfi
                                   use_pref_module, True, key_model, compute_dtype,
                                   attention_fn)
             if is_pairwise:
-                loss = loss_func_pairwise(q_p, qs)
+                loss = loss_func_pairwise(q_p, qs, valid)
                 aux = {"mae": loss, "rank": jnp.zeros(()), "pears": jnp.zeros(())}
             else:
                 loss, aux = loss_func_iqa(q_p, qs, loss_weights[0], loss_weights[1],
-                                          loss_weights[2], weighted=weighted_loss)
+                                          loss_weights[2], weighted=weighted_loss,
+                                          valid=valid)
             return loss, (aux, q_p)
 
         (loss, (aux, q_p)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -191,7 +201,7 @@ def make_train_step(cfg: VTAMIQConfig, sampler: PatchSampler, ecfg: ExtractConfi
         m_sh = jax.tree_util.tree_map(lambda _: rep, mask_template)
         return jax.jit(
             step,
-            in_shardings=(p_sh, o_sh, m_sh, data, data, rep, rep),
+            in_shardings=(p_sh, o_sh, m_sh, data, data, rep, rep, rep),
             out_shardings=(p_sh, o_sh, rep, data),
             donate_argnums=(0, 1),
         )
@@ -203,24 +213,26 @@ def make_eval_step(cfg: VTAMIQConfig, sampler: PatchSampler, ecfg: ExtractConfig
                    is_pairwise: bool = False, use_pref_module: bool = False,
                    weighted_loss: bool = False, compute_dtype=jnp.bfloat16,
                    mesh: Optional[Mesh] = None) -> Callable:
-    """eval_step(params, imgs_raw, qs, key, loss_weights)
+    """eval_step(params, imgs_raw, qs, valid, key, loss_weights)
     -> (metrics, q_pred). No dropout/droppath; patches re-sampled per call
-    (eval repeats average predictions downstream, train.py:398-409)."""
+    (eval repeats average predictions downstream, train.py:398-409).
+    ``valid`` masks host-padded items out of the logged losses."""
     extract = make_extract_fn(sampler, ecfg)
     attention_fn = (make_attention_fn()
                     if ecfg.patch_count >= FLASH_ATTENTION_THRESHOLD else None)
 
-    def step(params, imgs_raw, qs, key, loss_weights):
+    def step(params, imgs_raw, qs, valid, key, loss_weights):
         patches, pos, scales = extract(imgs_raw, key)
         q_p = _forward_scores(params, cfg, patches, pos, scales, is_pairwise,
                               use_pref_module, False, None, compute_dtype,
                               attention_fn)
         if is_pairwise:
-            loss = loss_func_pairwise(q_p, qs)
+            loss = loss_func_pairwise(q_p, qs, valid)
             aux = {"mae": loss, "rank": jnp.zeros(()), "pears": jnp.zeros(())}
         else:
             loss, aux = loss_func_iqa(q_p, qs, loss_weights[0], loss_weights[1],
-                                      loss_weights[2], weighted=weighted_loss)
+                                      loss_weights[2], weighted=weighted_loss,
+                                      valid=valid)
         return {"loss": loss, **aux}, q_p
 
     if mesh is None:
@@ -232,6 +244,6 @@ def make_eval_step(cfg: VTAMIQConfig, sampler: PatchSampler, ecfg: ExtractConfig
     def wrap(params_template):
         p_sh = param_shardings(params_template, mesh)
         return jax.jit(step,
-                       in_shardings=(p_sh, data, data, rep, rep),
+                       in_shardings=(p_sh, data, data, rep, rep, rep),
                        out_shardings=(rep, data))
     return wrap

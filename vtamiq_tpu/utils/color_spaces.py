@@ -120,6 +120,14 @@ def pu21_decode(v: np.ndarray) -> np.ndarray:
     return np.sqrt(lo * hi).astype(np.float32)
 
 
+def srgb_to_linear_jnp(srgb):
+    """jittable sRGB -> linear (same curve as srgb_to_linear) for device
+    pipelines."""
+    import jax.numpy as jnp
+    return jnp.where(srgb <= 0.04045, srgb / 12.92,
+                     ((jnp.maximum(srgb, 0.0) + 0.055) / 1.055) ** 2.4)
+
+
 def pu21_encode_jnp(luminance, jnp=None):
     """jittable PU21 encoding (same coefficients as pu21_encode) for use
     inside device pipelines; ``luminance`` is a jax array in cd/m^2."""
