@@ -196,9 +196,10 @@ class TestSharding:
 
         params = shard_params(params, mesh)
         raw, qs = make_batch(b=8)
-        raw, qs = shard_batch((raw, qs), mesh)
+        hw = jnp.tile(jnp.asarray([64, 64], jnp.int32)[None], (8, 1))
+        raw, qs, hw = shard_batch((raw, qs, hw), mesh)
         params, opt_state, metrics, q_p = step(
-            params, opt_state, mask, raw, qs, jnp.asarray(8), jax.random.PRNGKey(0), LW)
+            params, opt_state, mask, raw, qs, jnp.asarray(8), jax.random.PRNGKey(0), LW, hw)
         assert np.isfinite(float(metrics["loss"]))
         assert q_p.shape == (8,)
 
@@ -214,8 +215,9 @@ class TestSharding:
                               compute_dtype=jnp.float32, mesh=mesh)
         step = wrap(params)
         sp = shard_params(params, mesh)
-        sraw, sqs = shard_batch((raw, qs), mesh)
-        m2, q2 = step(sp, sraw, sqs, jnp.asarray(8), jax.random.PRNGKey(3), LW)
+        hw = jnp.tile(jnp.asarray([64, 64], jnp.int32)[None], (8, 1))
+        sraw, sqs, shw = shard_batch((raw, qs, hw), mesh)
+        m2, q2 = step(sp, sraw, sqs, jnp.asarray(8), jax.random.PRNGKey(3), LW, shw)
         np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), rtol=2e-4, atol=2e-4)
 
 
@@ -259,8 +261,9 @@ class TestTensorParallelEquivalence:
                               compute_dtype=jnp.float32, mesh=mesh)
         step = wrap(params)
         sp = shard_params(params, mesh)
-        sraw, sqs = shard_batch((raw, qs), mesh)
-        _, q2 = step(sp, sraw, sqs, jnp.asarray(2), jax.random.PRNGKey(3), LW)
+        hw = jnp.tile(jnp.asarray([64, 64], jnp.int32)[None], (2, 1))
+        sraw, sqs, shw = shard_batch((raw, qs, hw), mesh)
+        _, q2 = step(sp, sraw, sqs, jnp.asarray(2), jax.random.PRNGKey(3), LW, shw)
         np.testing.assert_allclose(np.asarray(q1), np.asarray(q2),
                                    rtol=2e-4, atol=2e-4)
 

@@ -24,10 +24,11 @@ from __future__ import annotations
 import queue
 import threading
 from collections import namedtuple
-from typing import Dict, Iterator, List, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
+from .buckets import assign_bucket, compute_canonical_buckets, pad_to_bucket
 from .datasets import PatchFRIQADataset
 
 ImageBatch = namedtuple(
@@ -38,7 +39,10 @@ ImageBatch = namedtuple(
                      # is fused into the device step (train/steps.py)
         "indices",   # (B,) int dataset indices
         "valid",     # int: first `valid` items are real; rest are pad repeats
+        "img_hw",    # (B, 2) int32 TRUE image sizes when batches are padded
+                     # to canonical buckets (max_size_buckets > 0); else None
     ],
+    defaults=(None,),
 )
 
 
@@ -61,7 +65,22 @@ class PatchDatasetLoader:
                  img_zero_error_q_prob: float = -1.0,
                  seed: int = 0,
                  prefetch: int = 2,
-                 pad_partial_batches: bool = True):
+                 pad_partial_batches: bool = True,
+                 max_size_buckets: int = 0,
+                 process_index: int = 0,
+                 process_count: int = 1):
+        """``max_size_buckets`` > 0 enables canonical-bucket padding for
+        variable-size datasets (LIVE/KADIS): images are zero-padded up to one
+        of <= max_size_buckets (H, W) shapes chosen to minimize pad area
+        (data/buckets.py), bounding the number of XLA executables; batches
+        then carry per-item TRUE sizes in ``img_hw`` which the device sampler
+        uses to confine patches to real pixels. 0 (default) batches by exact
+        size — right for fixed-size datasets (TID/KADID/CSIQ/PIPAL).
+
+        ``process_index`` / ``process_count``: multi-host data parallelism
+        (parallel/distributed.py) — every process derives the SAME epoch
+        permutation (seed, epoch) then iterates a disjoint strided slice, so
+        each host decodes only its share of the global batch."""
         if not dataset.has_split(split_name):
             raise ValueError(f"Dataset {dataset.name} has no split [{split_name}].")
         self.dataset = dataset
@@ -77,6 +96,10 @@ class PatchDatasetLoader:
         self.seed = seed
         self.prefetch = max(0, int(prefetch))
         self.pad_partial_batches = pad_partial_batches
+        self.max_size_buckets = int(max_size_buckets)
+        self._size_buckets = None  # computed lazily from the split's sizes
+        self.process_index = int(process_index)
+        self.process_count = max(1, int(process_count))
         self._epoch = 0
 
     # -- iteration ----------------------------------------------------------
@@ -85,22 +108,66 @@ class PatchDatasetLoader:
         base = np.asarray(self.dataset.split_indices(self.split_name))
         reps = [rng.permutation(base) if self.shuffle else base
                 for _ in range(self.num_repeats_data)]
-        return np.concatenate(reps)
+        indices = np.concatenate(reps)
+        if self.process_count > 1:  # multi-host: disjoint per-process slice
+            indices = indices[self.process_index::self.process_count]
+        return indices
+
+    def _epoch_len(self) -> int:
+        n = self.dataset.split_len(self.split_name) * self.num_repeats_data
+        if self.process_count > 1:
+            n = (n - self.process_index + self.process_count - 1) // self.process_count
+        return n
 
     def __len__(self):
-        n = self.dataset.split_len(self.split_name) * self.num_repeats_data
+        n = self._epoch_len()
         if self.pad_partial_batches:
             return (n + self.batch_size - 1) // self.batch_size
         return n // self.batch_size
 
-    def _make_batch(self, items: List[Tuple[int, float, list]]) -> ImageBatch:
+    # -- canonical size buckets (variable-size datasets) ---------------------
+
+    def _item_size(self, index: int) -> Tuple[int, int]:
+        """(h, w) of one split item WITHOUT full decode (header read)."""
+        path = self.dataset.sample_paths(index)[0]
+        try:
+            from . import native_io
+            if native_io.available():
+                return native_io.image_size(path)
+        except Exception:
+            pass
+        try:
+            from PIL import Image
+            with Image.open(path) as im:
+                w, h = im.size
+            return (h, w)
+        except Exception:
+            return self.dataset.get_img(path, is_ref_img=True).shape[:2]
+
+    def size_buckets(self) -> Optional[List[Tuple[int, int]]]:
+        """The canonical bucket shapes this loader pads to (None when exact
+        bucketing is active). Computed once from the split's image sizes."""
+        if self.max_size_buckets <= 0:
+            return None
+        if self._size_buckets is None:
+            sizes = [self._item_size(int(i))
+                     for i in self.dataset.split_indices(self.split_name)]
+            self._size_buckets = compute_canonical_buckets(
+                sizes, self.max_size_buckets)
+        return self._size_buckets
+
+    def _make_batch(self, items: List[tuple]) -> ImageBatch:
+        """items: (index, q, imgs list, true (h, w))."""
         valid = len(items)
         while len(items) < self.batch_size:  # pad by repeating the last item
             items.append(items[-1])
         indices = np.asarray([it[0] for it in items], int)
         qs = np.asarray([it[1] for it in items], np.float32)
         imgs_raw = np.stack([np.stack(it[2]) for it in items]).astype(np.float32)
-        return ImageBatch(qs, imgs_raw, indices, valid)
+        img_hw = None
+        if self.max_size_buckets > 0:
+            img_hw = np.asarray([it[3] for it in items], np.int32)
+        return ImageBatch(qs, imgs_raw, indices, valid, img_hw)
 
     def _use_native_batch_decode(self) -> bool:
         """Fast path: C++ thread-pool batch decode (vtamiq_tpu/native).
@@ -121,29 +188,38 @@ class PatchDatasetLoader:
         except Exception:
             return False
 
-    def _decode_bucket_native(self, bucket) -> ImageBatch:
-        """bucket items: (index, q, paths tuple, (h_flip, v_flip), (H, W))."""
+    def _decode_bucket_native(self, bucket, bucket_hw) -> ImageBatch:
+        """bucket items: (index, q, paths tuple, (h_flip, v_flip), true (H, W));
+        bucket_hw: the canonical shape the batch arrays use (== true size for
+        exact bucketing)."""
         from . import native_io
         valid = len(bucket)
         while len(bucket) < self.batch_size:
             bucket.append(bucket[-1])
         k = len(bucket[0][2])
-        h, w = bucket[0][4]
-        paths, hflips, vflips = [], [], []
-        for (_i, _q, sample_paths, (hf, vf), _size) in bucket:
+        bh, bw = bucket_hw
+        paths, hflips, vflips, sizes = [], [], [], []
+        for (_i, _q, sample_paths, (hf, vf), true_hw) in bucket:
             for p in sample_paths:
                 paths.append(p)
                 hflips.append(hf)
                 vflips.append(vf)
-        imgs = native_io.decode_batch(paths, [(h, w)] * len(paths),
+                sizes.append(true_hw)  # decode at native size, pad after
+        imgs = native_io.decode_batch(paths, sizes,
                                       h_flips=hflips, v_flips=vflips)
-        imgs_raw = np.stack(imgs).reshape(self.batch_size, k, h, w, 3)
+        if self.max_size_buckets > 0:
+            imgs = [pad_to_bucket(im, (bh, bw)) for im in imgs]
+        imgs_raw = np.stack(imgs).reshape(self.batch_size, k, bh, bw, 3)
         indices = np.asarray([it[0] for it in bucket], int)
         qs = np.asarray([it[1] for it in bucket], np.float32)
-        return ImageBatch(qs, imgs_raw, indices, valid)
+        img_hw = None
+        if self.max_size_buckets > 0:
+            img_hw = np.asarray([it[4] for it in bucket], np.int32)
+        return ImageBatch(qs, imgs_raw, indices, valid, img_hw)
 
     def _produce_native(self, rng) -> Iterator[ImageBatch]:
         from . import native_io
+        canonical = self.size_buckets()
         buckets: Dict[Tuple[int, int], list] = {}
         for index in self._epoch_indices(rng):
             index = int(index)
@@ -153,15 +229,17 @@ class PatchDatasetLoader:
             if self.allow_img_flip:
                 h_flip = bool(rng.random() < 0.5)
                 v_flip = bool(rng.random() < 0.5)
-            size = native_io.image_size(paths[0])
+            true_hw = native_io.image_size(paths[0])
+            size = (assign_bucket(true_hw, canonical)
+                    if canonical is not None else true_hw)
             bucket = buckets.setdefault(size, [])
-            bucket.append((index, q, paths, (h_flip, v_flip), size))
+            bucket.append((index, q, paths, (h_flip, v_flip), true_hw))
             if len(bucket) == self.batch_size:
-                yield self._decode_bucket_native(bucket)
+                yield self._decode_bucket_native(bucket, size)
                 buckets[size] = []
         for size, bucket in buckets.items():
             if bucket and self.pad_partial_batches:
-                yield self._decode_bucket_native(bucket)
+                yield self._decode_bucket_native(bucket, size)
 
     def _produce(self) -> Iterator[ImageBatch]:
         rng = np.random.default_rng((self.seed, self._epoch))
@@ -183,14 +261,21 @@ class PatchDatasetLoader:
                 yield first
                 yield from gen
                 return
+        canonical = self.size_buckets()
         buckets: Dict[Tuple[int, int], list] = {}
         for index in self._epoch_indices(rng):
             q, imgs_raw, _ = self.dataset.get_sample(
                 int(index), rng=rng, allow_img_flip=self.allow_img_flip,
                 compute_norm=False)
-            size = imgs_raw[0].shape[:2]
+            true_hw = tuple(imgs_raw[0].shape[:2])
+            if canonical is not None:
+                size = assign_bucket(true_hw, canonical)
+                if size != true_hw:
+                    imgs_raw = [pad_to_bucket(im, size) for im in imgs_raw]
+            else:
+                size = true_hw
             bucket = buckets.setdefault(size, [])
-            bucket.append((int(index), q, imgs_raw))
+            bucket.append((int(index), q, imgs_raw, true_hw))
             if len(bucket) == self.batch_size:
                 yield self._make_batch(bucket)
                 buckets[size] = []

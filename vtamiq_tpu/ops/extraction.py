@@ -84,6 +84,7 @@ def get_iqa_patches(
     scale_num_samples_ratio: float = DEFAULT_NUM_SAMPLES_RATIO,
     use_aligned_patches: bool = True,
     randomize_patch_scale_order: bool = False,
+    img_hw: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
     """Sample + extract multiscale patches for a set of images.
 
@@ -98,6 +99,13 @@ def get_iqa_patches(
         interleave instead of being grouped (one shared permutation across
         the K images, like the reference's patch_indices scatter,
         patch_sampling.py:505-508,588-592).
+      img_hw: optional traced (2,) int32 TRUE image size when (H, W) is a
+        padded canonical bucket (variable-size datasets, SURVEY.md §7):
+        sampling, uv normalization, and the multiscale pyramid all confine
+        to the true region, so pad pixels never reach the model. The scale
+        cap (compute_patch_num_scales) uses the static bucket dims — buckets
+        are chosen close to the true sizes (data/buckets.py), so the cap
+        matches in practice.
 
     Returns:
       patches (K, N, P, P, 3), pos (K, N, 2) uv centers in [0,1),
@@ -128,6 +136,7 @@ def get_iqa_patches(
 
     cur = tensors  # (K, h, w, 3) at the current pyramid level
     cur_diff = diff
+    cur_hw = None if img_hw is None else jnp.asarray(img_hw, jnp.int32)
     num_samples_total = 0
     for scale in range(patch_num_scales):
         n_s = int(num_patches[-scale - 1])
@@ -136,14 +145,21 @@ def get_iqa_patches(
 
         if n_s > 0:
             if use_aligned_patches:
-                samples = [patch_sampler.sample(subkeys[0], h, w, patch_dim, n_s, cur_diff)] * num_imgs
+                samples = [patch_sampler.sample(subkeys[0], h, w, patch_dim, n_s,
+                                                cur_diff, img_hw=cur_hw)] * num_imgs
             else:
-                samples = [patch_sampler.sample(subkeys[k], h, w, patch_dim, n_s, cur_diff)
+                samples = [patch_sampler.sample(subkeys[k], h, w, patch_dim, n_s,
+                                                cur_diff, img_hw=cur_hw)
                            for k in range(num_imgs)]
 
             # uv centers rescaled to [0,1): (topleft + P/2) / (hw - P/2)
-            # (reference: patch_sampling.py:520,559,565-568)
-            hw_ratio = jnp.array([h - patch_dim // 2, w - patch_dim // 2], jnp.float32)
+            # (reference: patch_sampling.py:520,559,565-568); in padded-bucket
+            # mode the TRUE size normalizes uv so positional embeddings span
+            # the real image like they would unpadded
+            if cur_hw is None:
+                hw_ratio = jnp.array([h - patch_dim // 2, w - patch_dim // 2], jnp.float32)
+            else:
+                hw_ratio = jnp.maximum(cur_hw - patch_dim // 2, 1).astype(jnp.float32)
             half = patch_dim // 2
 
             sc_patches = []
@@ -165,6 +181,8 @@ def get_iqa_patches(
         cur = avgpool2x(cur)
         if cur_diff is not None:
             cur_diff = avgpool2x_single(cur_diff)
+        if cur_hw is not None:
+            cur_hw = cur_hw // 2  # true region shrinks with the pyramid
 
     patches = jnp.concatenate(patches_per_scale, axis=1)
     pos = jnp.concatenate(pos_per_scale, axis=1).astype(jnp.float32)

@@ -315,10 +315,17 @@ def _perturbed_simple_grid_dims(h: int, w: int, num_samples: int) -> Tuple[int, 
 
 def sample_positions_uniform(key: jax.Array, h: int, w: int, patch_dim: int,
                              num_samples: int,
-                             perturbed_amount: float = GRID_TYPE_PERTURBED_AMOUNT) -> jnp.ndarray:
+                             perturbed_amount: float = GRID_TYPE_PERTURBED_AMOUNT,
+                             img_hw: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """PERTURBED_SIMPLE sampling: one aspect-corrected jittered grid over the
     whole image; returns float top-left coords, shape (2, N) in
     [0, h-P] x [0, w-P] (patch_sampling.py:236-237,321-327,379-381).
+
+    ``img_hw``: optional traced (2,) TRUE image size when (h, w) is a padded
+    canonical bucket (SURVEY.md §7 "variable image sizes"); the unit grid
+    maps onto the true region [0, hw-P] instead of the bucket, so padded
+    pixels are never sampled. Grid aspect correction uses the static bucket
+    dims (trace-time), placement uses the traced true dims.
     """
     height, width = _perturbed_simple_grid_dims(h, w, num_samples)
     key_sel, key_jit = jax.random.split(key)
@@ -332,8 +339,13 @@ def sample_positions_uniform(key: jax.Array, h: int, w: int, patch_dim: int,
     jitter = (2.0 * jax.random.uniform(key_jit, (2, num_samples)) - 1.0) * 2.0 * perturbed_amount
     pos_i = (gi + jitter[0]) / height + 1.0 / (2.0 * height)
     pos_j = (gj + jitter[1]) / width + 1.0 / (2.0 * width)
-    pos_i = jnp.clip(pos_i, 0.0, 1.0) * (h - patch_dim)
-    pos_j = jnp.clip(pos_j, 0.0, 1.0) * (w - patch_dim)
+    if img_hw is None:
+        span_i, span_j = h - patch_dim, w - patch_dim
+    else:
+        span_i = jnp.maximum(img_hw[0] - patch_dim, 0).astype(jnp.float32)
+        span_j = jnp.maximum(img_hw[1] - patch_dim, 0).astype(jnp.float32)
+    pos_i = jnp.clip(pos_i, 0.0, 1.0) * span_i
+    pos_j = jnp.clip(pos_j, 0.0, 1.0) * span_j
     return jnp.stack([pos_i, pos_j], axis=0)
 
 
@@ -373,7 +385,8 @@ def _cell_prob_sums(sample_prob: jnp.ndarray, cell_size: int, sh: int, sw: int,
 def sample_positions_weighted(key: jax.Array, sample_prob: jnp.ndarray, h: int, w: int,
                               patch_dim: int, num_samples: int,
                               grid_type: int = GRID_TYPE_PERTURBED,
-                              perturbed_amount: float = GRID_TYPE_PERTURBED_AMOUNT) -> jnp.ndarray:
+                              perturbed_amount: float = GRID_TYPE_PERTURBED_AMOUNT,
+                              img_hw: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Weighted stratified sampling: allocate the patch budget across a cell
     grid proportionally to the probability map, then place samples within
     each cell. Returns (2, N) float top-left coords.
@@ -398,6 +411,14 @@ def sample_positions_weighted(key: jax.Array, sample_prob: jnp.ndarray, h: int, 
     num_cells = sh * sw
 
     key_alloc, key_shift, key_slot, key_jit = jax.random.split(key, 4)
+
+    if img_hw is not None:
+        # padded-bucket mode: zero probability beyond the TRUE image region so
+        # pad cells receive no allocation; positions are clipped into the
+        # true region below
+        row_valid = jnp.arange(h) < img_hw[0]
+        col_valid = jnp.arange(w) < img_hw[1]
+        sample_prob = sample_prob * (row_valid[:, None] & col_valid[None, :])
 
     cell_probs = _cell_prob_sums(sample_prob, cell_size, sh, sw, patch_dim).reshape(-1)
     counts = _dissolve_alloc(key_alloc, cell_probs, num_samples)  # (C,)
@@ -446,8 +467,13 @@ def sample_positions_weighted(key: jax.Array, sample_prob: jnp.ndarray, h: int, 
 
     pos_i = (ci.astype(jnp.float32) + pos01[0] * row_scale) * cell_size
     pos_j = (cj.astype(jnp.float32) + pos01[1] * col_scale) * cell_size
-    pos_i = jnp.clip(pos_i, 0.0, h - patch_dim)
-    pos_j = jnp.clip(pos_j, 0.0, w - patch_dim)
+    if img_hw is None:
+        max_i, max_j = h - patch_dim, w - patch_dim
+    else:
+        max_i = jnp.maximum(img_hw[0] - patch_dim, 0).astype(jnp.float32)
+        max_j = jnp.maximum(img_hw[1] - patch_dim, 0).astype(jnp.float32)
+    pos_i = jnp.clip(pos_i, 0.0, max_i)
+    pos_j = jnp.clip(pos_j, 0.0, max_j)
     return jnp.stack([pos_i, pos_j], axis=0)
 
 
@@ -504,9 +530,12 @@ class PatchSampler:
             return None
         return compute_diff_map(imgs, self.diff_type, diff_pow)
 
-    def sample_prob(self, h: int, w: int, diff: Optional[jnp.ndarray]) -> jnp.ndarray:
+    def sample_prob(self, h: int, w: int, diff: Optional[jnp.ndarray],
+                    img_hw: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """Per-pixel probability map: centerbias + diff + uniform mix,
-        normalized (patch_sampling.py:101-126)."""
+        normalized (patch_sampling.py:101-126). With ``img_hw`` (padded
+        bucket mode) the diff std-normalization runs over the TRUE region
+        only, so pad zeros do not deflate the diff weighting."""
         prob = jnp.full((h, w), self.uniform_weight, dtype=jnp.float32)
         if self.centerbias_weight > 0:
             cb = centerbias_prob(jnp.asarray(self.centerbias_template, dtype=jnp.float32), h, w)
@@ -514,17 +543,28 @@ class PatchSampler:
         if self.diff_weight > 0:
             if diff is None:
                 raise ValueError("PatchSampler: 'diff' is required for difference-based sampling.")
-            std = jnp.std(diff)
+            if img_hw is None:
+                std = jnp.std(diff)
+            else:
+                valid = ((jnp.arange(h)[:, None] < img_hw[0]) &
+                         (jnp.arange(w)[None, :] < img_hw[1])).astype(jnp.float32)
+                count = jnp.maximum(jnp.sum(valid), 1.0)
+                mean = jnp.sum(diff * valid) / count
+                var = jnp.sum(((diff - mean) ** 2) * valid) / count
+                std = jnp.sqrt(var)
             normed = jnp.where(std > 1e-6, diff / jnp.maximum(std, 1e-6), 0.0)
             prob = prob + self.diff_weight * normed
         return prob / jnp.sum(prob)
 
     def sample(self, key: jax.Array, h: int, w: int, patch_dim: int, num_samples: int,
-               diff: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        """Sample (2, N) float top-left patch coordinates."""
+               diff: Optional[jnp.ndarray] = None,
+               img_hw: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Sample (2, N) float top-left patch coordinates; ``img_hw`` is the
+        traced TRUE image size when (h, w) is a padded canonical bucket."""
         if self.is_uniform:
             return sample_positions_uniform(key, h, w, patch_dim, num_samples,
-                                            self.perturbed_amount)
-        prob = self.sample_prob(h, w, diff)
+                                            self.perturbed_amount, img_hw=img_hw)
+        prob = self.sample_prob(h, w, diff, img_hw=img_hw)
         return sample_positions_weighted(key, prob, h, w, patch_dim, num_samples,
-                                         self.grid_type, self.perturbed_amount)
+                                         self.grid_type, self.perturbed_amount,
+                                         img_hw=img_hw)

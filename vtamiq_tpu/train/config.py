@@ -167,6 +167,11 @@ global_config = OrderedDict(
     compute_dtype="bfloat16",
     mesh_data=1,   # data-parallel mesh axis size (1 = single chip)
     mesh_model=1,  # tensor-parallel mesh axis size
+    max_size_buckets=0,  # >0: pad variable-size images to <= this many
+    # canonical (H, W) buckets (bounded executable count; LIVE/KADIS).
+    # 0 = batch by exact size (fixed-size datasets)
+    device_fault_retries=2,  # retries for transient UNAVAILABLE device
+    # faults per step dispatch (utils/retry.py; 0 disables)
 
     config_validated=False,
 )
@@ -505,6 +510,7 @@ class DatasetFactory:
             num_repeats_data=dataloader_params[NUM_REPEATS_DATA],
             seed=max(0, global_config["seed"]),
             prefetch=max(1, min(4, prefetch)),
+            max_size_buckets=global_config.get("max_size_buckets", 0),
         )
 
 

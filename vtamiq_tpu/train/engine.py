@@ -45,6 +45,7 @@ from ..parallel.mesh import make_mesh, shard_params, shard_batch
 from ..utils import (
     Logger, FileLogger, log, log_warn, Max, SplitSummaryWriter,
 )
+from ..utils.retry import retry_transient
 from . import config as C
 from .optim import make_optimizer, build_freeze_mask
 from .steps import ExtractConfig, make_train_step, make_eval_step
@@ -107,8 +108,20 @@ def _save(output_dir: str, filename: str, params: Dict, epoch: int, srocc: float
 # epoch loops
 # --------------------------------------------------------------------------
 
-def _batch_arrays(batch):
-    return jnp.asarray(batch.imgs_raw), jnp.asarray(batch.qs)
+def _batch_arrays(batch, need_hw: bool = False):
+    """Device arrays for one host batch. ``img_hw`` (true sizes for padded
+    canonical buckets) is None unless the loader produced it; with
+    ``need_hw`` (mesh steps take it positionally) a full-size hw array is
+    synthesized for exact-size batches."""
+    raw = jnp.asarray(batch.imgs_raw)
+    qs = jnp.asarray(batch.qs)
+    hw = getattr(batch, "img_hw", None)
+    if hw is not None:
+        hw = jnp.asarray(hw)
+    elif need_hw:
+        hw = jnp.tile(jnp.asarray(raw.shape[2:4], jnp.int32)[None],
+                      (raw.shape[0], 1))
+    return raw, qs, hw
 
 
 def do_training(train_step, params, opt_state, mask, loader, key,
@@ -122,17 +135,25 @@ def do_training(train_step, params, opt_state, mask, loader, key,
 
     for batch_i, batch in enumerate(loader):
         key, sub = jax.random.split(key)
-        raw, qs = _batch_arrays(batch)
+        raw, qs, hw = _batch_arrays(batch, need_hw=mesh is not None)
         if mesh is not None:
-            raw, qs = shard_batch((raw, qs), mesh)
+            raw, qs, hw = shard_batch((raw, qs, hw), mesh)
         if batch.valid < 2:
             # qs.shape[0] is always batch_size after host padding; the REAL
             # item count is batch.valid (reference skip guard, train.py:546)
             log_warn("Batch has < 2 valid items; skipping current batch.")
             continue
 
-        params, opt_state, metrics, q_p = train_step(
-            params, opt_state, mask, raw, qs, jnp.asarray(batch.valid), sub, lw)
+        step_args = (params, opt_state, mask, raw, qs,
+                     jnp.asarray(batch.valid), sub, lw)
+        if hw is not None:
+            step_args += (hw,)
+        # transient-fault retry (reference's skip-batch resilience analog,
+        # train.py:503-510; see utils/retry.py for the donation caveat)
+        params, opt_state, metrics, q_p = retry_transient(
+            train_step, *step_args,
+            max_retries=C.global_config.get("device_fault_retries", 2),
+            log=log_warn)
 
         v = batch.valid
         q_vals.append(np.asarray(batch.qs[:v], float))
@@ -177,11 +198,16 @@ def do_validation(eval_step, params, loader, key, loss_weights, *,
     for repeat in range(num_repeats):
         for i, batch in enumerate(loader):
             key, sub = jax.random.split(key)
-            raw, qs = _batch_arrays(batch)
+            raw, qs, hw = _batch_arrays(batch, need_hw=mesh is not None)
             if mesh is not None:
-                raw, qs = shard_batch((raw, qs), mesh)
-            metrics, q_p = eval_step(params, raw, qs, jnp.asarray(batch.valid),
-                                     sub, lw)
+                raw, qs, hw = shard_batch((raw, qs, hw), mesh)
+            step_args = (params, raw, qs, jnp.asarray(batch.valid), sub, lw)
+            if hw is not None:
+                step_args += (hw,)
+            metrics, q_p = retry_transient(
+                eval_step, *step_args,
+                max_retries=C.global_config.get("device_fault_retries", 2),
+                log=log_warn)
 
             v = batch.valid
             ys.append(np.asarray(batch.qs[:v], float))

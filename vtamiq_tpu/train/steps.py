@@ -87,16 +87,21 @@ def make_extract_fn(sampler: PatchSampler, ecfg: ExtractConfig) -> Callable:
     else:
         normalize = lambda raw: raw.astype(gather_dtype)
 
-    def extract_one(raw, key):
+    def extract_one(raw, key, hw=None):
         return get_iqa_patches(
             raw, normalize(raw), key, ecfg.patch_count, ecfg.patch_dim, sampler,
             ecfg.patch_num_scales, ecfg.scale_num_samples_ratio,
-            ecfg.use_aligned_patches, ecfg.randomize_patch_scale_order)
+            ecfg.use_aligned_patches, ecfg.randomize_patch_scale_order,
+            img_hw=hw)
 
-    def extract(imgs_raw, key):
+    def extract(imgs_raw, key, img_hw=None):
+        """img_hw: optional (B, 2) int32 TRUE sizes for padded-bucket batches
+        (variable-size datasets); None = images fill their arrays."""
         b = imgs_raw.shape[0]
         keys = jax.random.split(key, b)
-        return jax.vmap(extract_one)(imgs_raw, keys)
+        if img_hw is None:
+            return jax.vmap(extract_one)(imgs_raw, keys)
+        return jax.vmap(extract_one)(imgs_raw, keys, img_hw)
 
     return extract
 
@@ -159,9 +164,10 @@ def make_train_step(cfg: VTAMIQConfig, sampler: PatchSampler, ecfg: ExtractConfi
     attention_fn = (make_attention_fn()
                     if ecfg.patch_count >= FLASH_ATTENTION_THRESHOLD else None)
 
-    def step(params, opt_state, mask, imgs_raw, qs, valid, key, loss_weights):
+    def step(params, opt_state, mask, imgs_raw, qs, valid, key, loss_weights,
+             img_hw=None):
         key_sample, key_model = jax.random.split(key)
-        patches, pos, scales = extract(imgs_raw, key_sample)
+        patches, pos, scales = extract(imgs_raw, key_sample, img_hw)
 
         def loss_fn(p):
             q_p = _forward_scores(p, cfg, patches, pos, scales, is_pairwise,
@@ -199,9 +205,15 @@ def make_train_step(cfg: VTAMIQConfig, sampler: PatchSampler, ecfg: ExtractConfi
             lambda _: rep, opt_state_template,
             is_leaf=lambda x: not isinstance(x, (tuple, list, dict)))
         m_sh = jax.tree_util.tree_map(lambda _: rep, mask_template)
+        # the sharded step takes img_hw positionally (always; callers pass
+        # full-size hw for fixed-size data) so in_shardings stays positional
+        def step9(params, opt_state, mask, imgs_raw, qs, valid, key,
+                  loss_weights, img_hw):
+            return step(params, opt_state, mask, imgs_raw, qs, valid, key,
+                        loss_weights, img_hw)
         return jax.jit(
-            step,
-            in_shardings=(p_sh, o_sh, m_sh, data, data, rep, rep, rep),
+            step9,
+            in_shardings=(p_sh, o_sh, m_sh, data, data, rep, rep, rep, data),
             out_shardings=(p_sh, o_sh, rep, data),
             donate_argnums=(0, 1),
         )
@@ -221,8 +233,8 @@ def make_eval_step(cfg: VTAMIQConfig, sampler: PatchSampler, ecfg: ExtractConfig
     attention_fn = (make_attention_fn()
                     if ecfg.patch_count >= FLASH_ATTENTION_THRESHOLD else None)
 
-    def step(params, imgs_raw, qs, valid, key, loss_weights):
-        patches, pos, scales = extract(imgs_raw, key)
+    def step(params, imgs_raw, qs, valid, key, loss_weights, img_hw=None):
+        patches, pos, scales = extract(imgs_raw, key, img_hw)
         q_p = _forward_scores(params, cfg, patches, pos, scales, is_pairwise,
                               use_pref_module, False, None, compute_dtype,
                               attention_fn)
@@ -243,7 +255,10 @@ def make_eval_step(cfg: VTAMIQConfig, sampler: PatchSampler, ecfg: ExtractConfig
 
     def wrap(params_template):
         p_sh = param_shardings(params_template, mesh)
-        return jax.jit(step,
-                       in_shardings=(p_sh, data, data, rep, rep, rep),
+
+        def step7(params, imgs_raw, qs, valid, key, loss_weights, img_hw):
+            return step(params, imgs_raw, qs, valid, key, loss_weights, img_hw)
+        return jax.jit(step7,
+                       in_shardings=(p_sh, data, data, rep, rep, rep, data),
                        out_shardings=(rep, data))
     return wrap
