@@ -46,6 +46,10 @@ class ViTConfig:
     # effectively 0.0; `vit_path_drop_active` preserves that behavior by
     # default while allowing the documented behavior to be switched on.
     vit_path_drop_active: bool = False
+    attn_logits_fp32: bool = False  # force fp32 storage of attention logits
+    # even in bf16 compute; off by default — bf16 logits halve the dominant
+    # HBM traffic of the short-sequence forward (+10% on v5e; the reference's
+    # fp16 autocast also stores half-precision logits, train.py:514)
     remat: bool = False          # jax.checkpoint each encoder layer: trades
     # recompute FLOPs for activation memory (long patch sequences / training)
     vit_weights_path: Optional[str] = None

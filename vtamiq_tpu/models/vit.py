@@ -151,7 +151,8 @@ def dense(params, x, dtype=None):
 
 
 def mhsa(params, x, num_heads: int, mask: Optional[jnp.ndarray] = None,
-         attention_fn=None, return_attention: bool = False):
+         attention_fn=None, return_attention: bool = False,
+         logits_fp32: bool = False):
     """Multi-head self-attention (reference: transformer.py:125-172).
 
     x: (B, S, H); mask: optional (B, S) bool of valid key positions.
@@ -159,6 +160,14 @@ def mhsa(params, x, num_heads: int, mask: Optional[jnp.ndarray] = None,
     when ``return_attention`` (reference return_attention knob), else None.
     Attention maps are only materialized on the full-softmax path (the flash
     kernel never forms them — that is its point).
+
+    The (B, heads, S, S) logits tensor is the dominant HBM traffic of the
+    short-sequence forward; it is stored in the compute dtype (the softmax
+    still reduces in fp32 inside the fusion). Measured +10% end-to-end on
+    v5e at 500 patches (tools/profile_experiments2.py). ``logits_fp32``
+    (ViTConfig.attn_logits_fp32) restores fp32 logits storage; fp32 compute
+    always uses fp32 logits, so golden parity vs the torch reference is
+    unaffected.
     """
     b, s, h = x.shape
     d = h // num_heads
@@ -172,10 +181,12 @@ def mhsa(params, x, num_heads: int, mask: Optional[jnp.ndarray] = None,
     if attention_fn is not None and not return_attention:
         ctx = attention_fn(q, k, v, mask)
     else:
+        logits_dtype = jnp.float32 if (logits_fp32 or dtype == jnp.float32) else dtype
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32) / math.sqrt(d)
+                            preferred_element_type=logits_dtype) / math.sqrt(d)
         if mask is not None:
-            logits = jnp.where(mask[:, None, None, :], logits, NEG_INF)
+            logits = jnp.where(mask[:, None, None, :],
+                               logits, jnp.asarray(NEG_INF, logits.dtype))
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
         if return_attention:
             probs_out = probs
@@ -222,7 +233,8 @@ def encoder_layer(params, x, cfg: ViTConfig, mask=None, adapter_num: int = -1,
 
     h, attn_probs = mhsa(params["attn"], layer_norm(params["ln1"], x),
                          cfg.num_heads, mask=mask, attention_fn=attention_fn,
-                         return_attention=return_attention)
+                         return_attention=return_attention,
+                         logits_fp32=cfg.attn_logits_fp32)
     if adapter is not None:
         h = adapter_block(adapter["attn"], h)
     if cfg.use_layer_scale:

@@ -37,10 +37,13 @@ def gather_patches(img: jnp.ndarray, topleft: jnp.ndarray, patch_dim: int) -> jn
     meshgrid indexing, patch_sampling.py:539-545).
 
     Implemented as a vmapped dynamic_slice — XLA lowers this to ONE gather
-    with slice_sizes=(P, P, C), i.e. one index pair per patch. The naive
-    per-pixel fancy-indexing formulation emits P*P index tuples per patch and
-    is ~an order of magnitude slower on TPU (measured: extraction dominated
-    the 500-patch pipeline at 98 ms/batch before this change).
+    with slice_sizes=(P, P, C), i.e. one index pair per patch. Measured
+    IN CONTEXT (vmapped over the batch inside the fused extract step,
+    tools/profile_experiments4.py, v5e, 500x16x16 patches, batch 16x2):
+    dynamic_slice 1.207 ms/pair vs 1.455 for per-patch-row strip gathers
+    and 1.900 for per-pixel flat fancy-indexing. (Isolated single-image
+    microbenchmarks rank these the OPPOSITE way — they measure serial
+    dispatch latency, not batched throughput; trust only in-context runs.)
     """
     h, w = img.shape[0], img.shape[1]
     c = img.shape[2]

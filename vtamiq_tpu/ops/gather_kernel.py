@@ -1,21 +1,32 @@
-"""Pallas DMA patch-gather kernel (EXPERIMENTAL — interpret-mode only).
+"""Pallas patch-gather kernel: image resident in VMEM, dynamic row slice +
+dynamic lane rotate per patch.
 
-Extracts N PxPx3 pixel blocks at arbitrary (row, col) offsets from an image
-batch resident in HBM, overlapping block DMAs within each grid step. This is
-the hand-scheduled alternative to the XLA dynamic-slice gather in
-ops/extraction.py (reference hot loop: numpy fancy indexing in DataLoader
-workers, patch_sampling.py:529-545).
+The XLA dynamic-slice gather (ops/extraction.py) is DMA-descriptor-rate
+bound: 2x500 tiny (16, 16, 3) strided HBM slices per pair cost ~1.2 ms/pair
+on v5e — half the fused 500-patch pipeline (tools/profile_experiments4.py).
+This kernel instead:
 
-STATUS: numerically exact under the Pallas interpreter, but the current
-Mosaic toolchain rejects DMA source slices with dynamic offsets in the
-minor (W) dimension, so hardware compilation fails. The production pipeline
-uses the XLA dynamic-slice gather (already within ~2x of a bandwidth-bound
-ideal); revisit with a row-granularity DMA + in-VMEM column select when the
-toolchain supports it.
+1. brings the WHOLE image into VMEM once per grid step (a (384, 512*3) bf16
+   image is 1.2 MB against v5e's ~16 MB more-than-sufficient VMEM),
+2. for each patch, loads a (P, W*C) row band at a DYNAMIC sublane offset
+   (supported by Mosaic), rotates it along lanes by the DYNAMIC column
+   offset (``pltpu.roll``), and stores the leading (P, P*C) columns.
 
-Layout: images (B, H, W, C) HBM; indices (B, N) int32 row/col top-lefts
-(scalar-prefetched so the kernel can compute DMA source slices); output
-(B, N, P, P, C).
+No per-patch HBM DMA descriptors: HBM traffic is exactly image-in +
+patches-out. Round 1's attempt (HBM-source DMAs with dynamic minor-dim
+offsets) was rejected by Mosaic; the VMEM-resident + roll formulation
+compiles on current toolchains.
+
+The gather is data movement only — no gradient ever flows through it (the
+train step extracts patches OUTSIDE the loss closure; only params are
+differentiated), so no custom VJP is needed.
+
+Used automatically by ops/extraction.gather_patches on TPU backends for
+images that fit the VMEM budget; XLA dynamic-slice everywhere else
+(CPU tests, oversized images).
+
+Reference hot loop this replaces: numpy fancy indexing in DataLoader
+workers (patch_sampling.py:529-545).
 """
 
 from __future__ import annotations
@@ -27,77 +38,53 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _gather_kernel(ti_ref, tj_ref, img_ref, out_ref, scratch, sems, *,
-                   patch_dim: int, block_n: int):
-    """Grid (B, N // block_n). Image stays in HBM (ANY); each step DMAs
-    block_n patch slices into VMEM scratch concurrently, then writes the
-    output block."""
-    b = pl.program_id(0)
-    nb = pl.program_id(1)
-
-    def start(p, _):
-        idx = nb * block_n + p
-        dma = pltpu.make_async_copy(
-            img_ref.at[b, pl.ds(ti_ref[b, idx], patch_dim),
-                       pl.ds(tj_ref[b, idx], patch_dim), :],
-            scratch.at[p],
-            sems.at[p],
-        )
-        dma.start()
-        return 0
-
-    jax.lax.fori_loop(0, block_n, start, 0)
-
-    def wait(p, _):
-        idx = nb * block_n + p
-        pltpu.make_async_copy(
-            img_ref.at[b, pl.ds(ti_ref[b, idx], patch_dim),
-                       pl.ds(tj_ref[b, idx], patch_dim), :],
-            scratch.at[p],
-            sems.at[p],
-        ).wait()
-        return 0
-
-    jax.lax.fori_loop(0, block_n, wait, 0)
-    out_ref[0] = scratch[...]
+# images larger than this (bytes, bf16/fp32 as passed) stay on the XLA
+# dynamic-slice path: the image + output blocks must fit VMEM comfortably
+VMEM_IMAGE_BYTE_LIMIT = 8 * 1024 * 1024
 
 
-def pallas_gather_patches(imgs: jnp.ndarray, ti: jnp.ndarray, tj: jnp.ndarray,
-                          patch_dim: int = 16, block_n: int = 50) -> jnp.ndarray:
-    """imgs (B, H, W, C), ti/tj (B, N) int32 -> (B, N, P, P, C).
+def _vmem_gather_kernel(ti_ref, tj_ref, img_ref, out_ref, *,
+                        patch_dim: int, num_patches: int, c: int):
+    """Grid step = one image. img_ref: (H, W*C) VMEM block; ti/tj: (N,)
+    scalar-prefetched top-left coords; out_ref: (N*P, P*C) VMEM block."""
+    wc = img_ref.shape[1]
 
-    ``block_n`` patches are DMA'd concurrently per grid step; N must be a
-    multiple of block_n (callers pad or pick a divisor).
-    """
-    b, h, w, c = imgs.shape
-    n = ti.shape[1]
-    if n % block_n != 0:
-        # fall back to the largest divisor <= block_n
-        for cand in range(min(block_n, n), 0, -1):
-            if n % cand == 0:
-                block_n = cand
-                break
+    def body(k, carry):
+        i = ti_ref[k]
+        j = tj_ref[k]
+        band = img_ref[pl.ds(i, patch_dim), :]              # (P, W*C)
+        # rotate so columns [j*c, j*c + P*c) land at [0, P*c)
+        rot = pltpu.roll(band, wc - j * c, 1)
+        out_ref[pl.ds(k * patch_dim, patch_dim), :] = rot[:, : patch_dim * c]
+        return carry
 
-    grid = (b, n // block_n)
-    kernel = functools.partial(_gather_kernel, patch_dim=patch_dim,
-                               block_n=block_n)
+    jax.lax.fori_loop(0, num_patches, body, 0)
 
-    return pl.pallas_call(
+
+def pallas_gather_patches(img: jnp.ndarray, ti: jnp.ndarray, tj: jnp.ndarray,
+                          patch_dim: int) -> jnp.ndarray:
+    """img (H, W, C), ti/tj (N,) int32 (pre-clipped to [0, dim-P]) ->
+    (N, P, P, C) pixel blocks."""
+    h, w, c = img.shape
+    n = ti.shape[0]
+    flat = img.reshape(h, w * c)
+    kernel = functools.partial(_vmem_gather_kernel, patch_dim=patch_dim,
+                               num_patches=n, c=c)
+    out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # imgs stay in HBM
-            ],
-            out_specs=pl.BlockSpec(
-                (1, block_n, patch_dim, patch_dim, c),
-                lambda b, nb, ti, tj: (b, nb, 0, 0, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((block_n, patch_dim, patch_dim, c), imgs.dtype),
-                pltpu.SemaphoreType.DMA((block_n,)),
-            ],
+            grid=(1,),
+            in_specs=[pl.BlockSpec((h, w * c), lambda g, ti, tj: (0, 0))],
+            out_specs=pl.BlockSpec((n * patch_dim, patch_dim * c),
+                                   lambda g, ti, tj: (0, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n, patch_dim, patch_dim, c), imgs.dtype),
-    )(ti, tj, imgs)
+        out_shape=jax.ShapeDtypeStruct((n * patch_dim, patch_dim * c), img.dtype),
+    )(ti.astype(jnp.int32), tj.astype(jnp.int32), flat)
+    return out.reshape(n, patch_dim, patch_dim, c)
+
+
+def vmem_gather_supported(img_shape, dtype) -> bool:
+    """True when the image fits the kernel's VMEM budget."""
+    h, w, c = img_shape
+    return h * w * c * jnp.dtype(dtype).itemsize <= VMEM_IMAGE_BYTE_LIMIT
