@@ -1,0 +1,525 @@
+#!/usr/bin/env python
+"""Parity harness: executes the five BASELINE.json configs and emits ONE
+JSON report (PARITY_REPORT.json).
+
+The acceptance bar (BASELINE.md): SROCC/PLCC within 0.005 of the torch
+reference on TID2013, with the five tracked configs runnable. When real
+datasets are present under --root (or $VTAMIQ_DATASETS_PATH), they are used
+as-is; otherwise full-scale synthetic stand-ins are generated in the exact
+on-disk layouts (vtamiq_tpu/data/synth.py), so the *pipelines* run at real
+scale today and the same command produces the real-data report the day the
+data shows up.
+
+Configs (BASELINE.json "configs"):
+  1. run_custom-style single ref/dist pair, ViT-B/16, 500x16x16 patches —
+     IDENTICAL weights + IDENTICAL patches through both frameworks; gate on
+     |q_ours - q_torch|.
+  2. TID2013 test-set eval — both frameworks run their FULL stacks (decode
+     -> Q processing -> sampling -> model -> correlations) with identical
+     weights; gate on |SROCC_ours - SROCC_torch| and |PLCC_...| <= 0.005.
+     Also reports ours with the CAPS-SSIM diff map (capability the
+     reference's README promises but never implemented).
+  3. KADID-10k training epoch (stratified CAPS + DiffNet) via the engine.
+  4. Multiscale CAPS run_multi sweep (16/32/64 px at ratio 2.0) on LIVE.
+  5. PIPAL 5000-patch training + cross-database eval (LIVE/CSIQ/TID2013).
+
+Weights for configs 1-2 come from a quick training run on the TID2013 train
+split (engine path), so correlations are meaningful; pass --checkpoint to
+use real trained weights instead.
+
+Usage:
+  python parity_run.py [--root DIR] [--configs 1,2] [--quick/--full] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from copy import deepcopy
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+
+# --------------------------------------------------------------------------
+# setup
+# --------------------------------------------------------------------------
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="VTAMIQ parity harness")
+    p.add_argument("--root", default=os.environ.get(
+        "VTAMIQ_DATASETS_PATH", os.path.join(REPO, ".parity_data")))
+    p.add_argument("--out", default=os.path.join(REPO, "PARITY_REPORT.json"))
+    p.add_argument("--configs", default="1,2,3,4,5")
+    p.add_argument("--full", action="store_true",
+                   help="full-scale everywhere (synthetic gen + eval sizes)")
+    p.add_argument("--gate", type=float, default=0.005)
+    p.add_argument("--q-gate", type=float, default=2e-3,
+                   help="config-1 |q_ours - q_torch| gate (fp32)")
+    p.add_argument("--train-epochs", type=int, default=2)
+    p.add_argument("--repeats", type=int, default=2,
+                   help="eval patch-resampling repeats (config 2)")
+    p.add_argument("--torch-pairs", type=int, default=64,
+                   help="cap on reference-side eval pairs (quick mode)")
+    p.add_argument("--checkpoint", default=None,
+                   help="framework checkpoint (.npz) to use instead of quick-training")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def ensure_datasets(root: str, names, full: bool):
+    """Use real datasets if present; generate synthetic stand-ins otherwise.
+    Returns {name: 'real' | 'synthetic'}."""
+    from vtamiq_tpu.data import synth
+    probes = {
+        "tid2013": os.path.join(root, "tid2013", "mos_with_names.txt"),
+        "kadid10k": os.path.join(root, "kadid10k", "dmos.csv"),
+        "live": os.path.join(root, "LIVE", "dmos_realigned.mat"),
+        "csiq": os.path.join(root, "CSIQ", "DMOS.csv"),
+        "pipal": os.path.join(root, "PIPAL", "Train_Label"),
+    }
+    kinds = {}
+    for name in names:
+        marker = os.path.join(os.path.dirname(probes[name]), ".synth_done")
+        if os.path.exists(probes[name]) and not os.path.exists(marker):
+            kinds[name] = "real"
+            continue
+        synth.generate_all(root, [name], full=(full or name == "tid2013"))
+        kinds[name] = "synthetic"
+    return kinds
+
+
+def point_frameworks_at(root: str):
+    import vtamiq_tpu.data.datasets as our_datasets
+    our_datasets.DATASETS_DEFAULT_PATH = root
+    try:
+        import data.patch_datasets as ref_pd
+        ref_pd.DATASETS_DEFAULT_PATH = root
+    except ImportError:
+        pass
+
+
+def install_reference():
+    from reference_shim import install_reference as _install, reference_available
+    return reference_available() and _install()
+
+
+# --------------------------------------------------------------------------
+# shared model/config helpers
+# --------------------------------------------------------------------------
+
+def fresh_configs():
+    """Reset the engine config module to pristine defaults between configs
+    (the reference relies on process-per-run; we re-exec the module state)."""
+    from vtamiq_tpu.train import config as C
+    import importlib
+    importlib.reload(C)
+    # reload leaves stale references in engine/run modules; rebind
+    from vtamiq_tpu.train import engine, run_multi
+    engine.C = C
+    run_multi.C = C
+    return C
+
+
+def build_cfg(C):
+    return C.build_model_config()
+
+
+def quick_train_tid(C, root, args, workdir):
+    """Engine training run on TID2013 -> returns (params, cfg)."""
+    import jax
+    from vtamiq_tpu.train import engine
+    g = C.global_config
+    g["dataset"] = C.DATASET_TID2013
+    g["do_train"], g["do_val"], g["do_test"] = True, True, False
+    g["num_epochs"] = args.train_epochs
+    g["seed"] = args.seed
+    g["output_dir"] = workdir
+    g["is_verbose"] = False
+    g["save_optimizer"] = False
+    if not args.full:
+        C.dataloader_config_vtamiq[C.SPLIT_NAME_TRAIN][C.PATCH_COUNT] = 256
+        C.dataloader_config_vtamiq[C.SPLIT_NAME_VAL][C.PATCH_COUNT] = 512
+    engine.train()
+    cfg = build_cfg(C)
+    out_dir = g["output_dir_final"]
+    best = os.path.join(out_dir, "best.npz")
+    latest = os.path.join(out_dir, "latest.npz")
+    ckpt = best if os.path.isfile(best) else latest
+    params = engine.get_model_params(cfg, ckpt, force_load_pretrained=True,
+                                     seed=args.seed)
+    return params, cfg
+
+
+def load_or_train_params(C, root, args, workdir):
+    from vtamiq_tpu.train import engine
+    if args.checkpoint:
+        cfg = build_cfg(C)
+        params = engine.get_model_params(cfg, args.checkpoint,
+                                         force_load_pretrained=True,
+                                         seed=args.seed)
+        return params, cfg
+    return quick_train_tid(C, root, args, workdir)
+
+
+# --------------------------------------------------------------------------
+# config 1: single-pair forward parity (identical patches, fp32)
+# --------------------------------------------------------------------------
+
+def run_config1(params, cfg, args):
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from vtamiq_tpu.data.datasets import TID2013Dataset
+    from vtamiq_tpu.models.vtamiq import vtamiq_forward
+    from vtamiq_tpu.ops.extraction import get_iqa_patches
+    from vtamiq_tpu.ops.sampling import PatchSampler
+    from torch_bridge import build_reference_model, jax_to_torch
+
+    ds = TID2013Dataset()
+    q_label, imgs_raw, imgs_norm = ds.get_sample(0, np.random.default_rng(args.seed))
+    raw = jnp.stack([jnp.asarray(x) for x in imgs_raw])
+    norm = jnp.stack([jnp.asarray(x) for x in imgs_norm])
+
+    patches, pos, _ = jax.jit(
+        lambda r, n, k: get_iqa_patches(r, n, k, 500, 16, PatchSampler(), 1)
+    )(raw, norm, jax.random.PRNGKey(args.seed))
+    patches = np.asarray(patches, np.float32)  # (2, 500, 16, 16, 3)
+    pos = np.asarray(pos, np.float32)
+
+    q_ours = float(vtamiq_forward(
+        params, cfg, jnp.asarray(patches)[None], jnp.asarray(pos)[None],
+        compute_dtype=jnp.float32)[0])
+
+    model_t = build_reference_model(cfg)
+    jax_to_torch(params, model_t, cfg)
+    with torch.no_grad():
+        tp = torch.from_numpy(patches.transpose(0, 1, 4, 2, 3).copy())
+        tu = torch.from_numpy(pos.copy())
+        q_t, _ = model_t((tp[0:1], tp[1:2]), (tu[0:1], tu[1:2]), (None, None))
+    q_torch = float(q_t.reshape(()))
+
+    diff = abs(q_ours - q_torch)
+    return {
+        "name": "single-pair forward parity (identical weights + patches)",
+        "q_ours": q_ours, "q_torch": q_torch, "abs_diff": diff,
+        "gate": args.q_gate, "pass": bool(diff <= args.q_gate),
+    }
+
+
+# --------------------------------------------------------------------------
+# config 2: TID2013 eval parity (full stacks, identical weights)
+# --------------------------------------------------------------------------
+
+def _our_eval_tid(params, cfg, C, indices, args, sampler_config=None,
+                  patch_count=512):
+    import jax
+    import jax.numpy as jnp
+    from vtamiq_tpu.data.datasets import TID2013Dataset, dataset_split
+    from vtamiq_tpu.data.pipeline import PatchDatasetLoader
+    from vtamiq_tpu.ops.correlations import compute_correlations_flat
+    from vtamiq_tpu.ops.sampling import PatchSampler
+    from vtamiq_tpu.train.steps import ExtractConfig, make_eval_step
+
+    ds = TID2013Dataset()
+    ds.splits_dict["ParityTest"] = dataset_split("ParityTest", np.asarray(indices))
+    loader = PatchDatasetLoader(ds, "ParityTest", batch_size=8,
+                                patch_count=patch_count, shuffle=False,
+                                seed=args.seed)
+    sampler = PatchSampler(**(sampler_config or
+                              C.dataset_config_base["patch_sampler_config"]))
+    mean, std = ds.get_norm_mean_std()
+    eval_step = make_eval_step(cfg, sampler, ExtractConfig(
+        patch_count=patch_count, patch_dim=16,
+        norm_mean=tuple(mean), norm_std=tuple(std)))
+
+    key = jax.random.PRNGKey(args.seed + 7)
+    ys, yps = [], []
+    lw = jnp.asarray((1.0, 1.0, 1.0), jnp.float32)
+    for repeat in range(args.repeats):
+        for batch in loader:
+            key, sub = jax.random.split(key)
+            _, q_p = eval_step(params, jnp.asarray(batch.imgs_raw),
+                               jnp.asarray(batch.qs), jnp.asarray(batch.valid),
+                               sub, lw)
+            v = batch.valid
+            ys.append(np.asarray(batch.qs[:v], float))
+            yps.append(np.asarray(q_p, float)[:v])
+    return compute_correlations_flat(ys, yps, args.repeats, warn=None)
+
+
+def _torch_eval_tid(params, cfg, indices, args, patch_count=512):
+    import torch
+    from torch_bridge import build_reference_model, jax_to_torch
+    from vtamiq_tpu.ops.correlations import compute_correlations_flat
+    from data.patch_datasets import dataset_split as ref_split
+    from data.datasets.tid import TID2013Dataset as RefTID
+
+    model = build_reference_model(cfg)
+    jax_to_torch(params, model, cfg)
+
+    ds = RefTID(patch_count=patch_count, patch_dim=16, patch_num_scales=1,
+                use_aligned_patches=1)
+    # drive a custom pair-index split directly (the reference's add_split
+    # expands ref-image indices; we need pair-level control for capping)
+    ds.splits_dict["ParityTest"] = ref_split("ParityTest", list(map(int, indices)))
+    ds.set_split_crt("ParityTest")
+    ds.num_repeats_data = 1
+
+    ys, yps = [], []
+    with torch.no_grad():
+        for repeat in range(args.repeats):
+            y_r, yp_r = [], []
+            for i in range(len(indices)):
+                q, patches, pos, scales = ds[i]
+                tp = patches.unsqueeze(1)  # (2, 1, N, C, P, P) -> index towers
+                q_p, _ = model((tp[0], tp[1]),
+                               (pos[0].unsqueeze(0), pos[1].unsqueeze(0)),
+                               (None, None))
+                y_r.append(float(q))
+                yp_r.append(float(q_p.reshape(())))
+            ys.append(np.asarray(y_r))
+            yps.append(np.asarray(yp_r))
+    return compute_correlations_flat(ys, yps, args.repeats, warn=None)
+
+
+def run_config2(params, cfg, C, args):
+    from vtamiq_tpu.data.datasets import TID2013Dataset
+    from vtamiq_tpu.ops.sampling import (
+        GRID_TYPE_PERTURBED, DIFF_TYPE_SSIM)
+
+    ds = TID2013Dataset()
+    test_refs = C.split_config_tid2013[C.SPLIT_NAME_TEST]
+    pair_indices = [ds.dist_images_before_image[r] + j
+                    for r in test_refs for j in range(ds.dist_images_per_image[r])]
+    if not args.full and len(pair_indices) > args.torch_pairs:
+        rng = np.random.default_rng(args.seed)
+        pair_indices = sorted(rng.choice(
+            pair_indices, size=args.torch_pairs, replace=False).tolist())
+
+    t0 = time.time()
+    ours = _our_eval_tid(params, cfg, C, pair_indices, args)
+    ssim_sampler = dict(diff_weight=1.0, uniform_weight=0.1,
+                        grid_type=GRID_TYPE_PERTURBED, diff_type=DIFF_TYPE_SSIM)
+    ours_ssim = _our_eval_tid(params, cfg, C, pair_indices, args,
+                              sampler_config=ssim_sampler)
+    t_ours = time.time() - t0
+
+    t0 = time.time()
+    theirs = _torch_eval_tid(params, cfg, pair_indices, args)
+    t_torch = time.time() - t0
+
+    d_srocc = abs(ours["SROCC"] - theirs["SROCC"])
+    d_plcc = abs(ours["PLCC"] - theirs["PLCC"])
+    return {
+        "name": "TID2013 test-set eval parity (full stacks, identical weights)",
+        "pairs": len(pair_indices), "repeats": args.repeats,
+        "ours": {k: ours[k] for k in ("SROCC", "KROCC", "PLCC", "RMSE")},
+        "ours_caps_ssim": {k: ours_ssim[k] for k in ("SROCC", "KROCC", "PLCC", "RMSE")},
+        "torch_reference": {k: theirs[k] for k in ("SROCC", "KROCC", "PLCC", "RMSE")},
+        "delta_srocc": d_srocc, "delta_plcc": d_plcc, "gate": args.gate,
+        "eval_seconds": {"ours": t_ours, "torch": t_torch},
+        "pass": bool(d_srocc <= args.gate and d_plcc <= args.gate),
+    }
+
+
+# --------------------------------------------------------------------------
+# config 3: KADID-10k training epoch (stratified CAPS + DiffNet)
+# --------------------------------------------------------------------------
+
+def run_config3(root, args, workdir, kinds):
+    C = fresh_configs()
+    from vtamiq_tpu.train import engine
+    from vtamiq_tpu.ops.sampling import GRID_TYPE_PERTURBED, DIFF_TYPE_MAGNITUDE
+    g = C.global_config
+    g["dataset"] = C.DATASET_KADID10K
+    g["do_train"], g["do_val"], g["do_test"] = True, True, False
+    g["num_epochs"] = 1
+    g["seed"] = args.seed
+    g["output_dir"] = workdir
+    g["is_verbose"] = False
+    # stratified (weighted) CAPS, the non-uniform path
+    C.dataset_config_base["patch_sampler_config"] = dict(
+        diff_weight=1.0, uniform_weight=0.1, grid_type=GRID_TYPE_PERTURBED,
+        diff_type=DIFF_TYPE_MAGNITUDE)
+    if kinds.get("kadid10k") == "synthetic" and not args.full:
+        # synthetic quick gen writes images for the first 12 refs only
+        C.split_config_kadid10k[C.SPLIT_NAME_TRAIN] = list(range(0, 8))
+        C.split_config_kadid10k[C.SPLIT_NAME_VAL] = list(range(8, 10))
+        C.split_config_kadid10k[C.SPLIT_NAME_TEST] = list(range(10, 12))
+        C.dataloader_config_vtamiq[C.SPLIT_NAME_TRAIN][C.PATCH_COUNT] = 256
+    cors = engine.train()
+    srocc = float(cors["SROCC"]) if cors else float("nan")
+    return {
+        "name": "KADID-10k training epoch (stratified CAPS + DiffNet)",
+        "val_SROCC_after_1_epoch": srocc,
+        "pass": bool(np.isfinite(srocc) and srocc > 0.3),
+    }
+
+
+# --------------------------------------------------------------------------
+# config 4: multiscale CAPS run_multi sweep on LIVE
+# --------------------------------------------------------------------------
+
+def run_config4(root, args, workdir):
+    """run_multi-style sweep: N random-split train/val/test runs with
+    multiscale CAPS, aggregated stats (run_multi.main hardwires 20 epochs —
+    this inlines the same loop with a parity-sized budget)."""
+    from vtamiq_tpu.train.run_multi import parse_runs
+    num_runs = 2
+    runs = []
+    for i in range(num_runs):
+        C = fresh_configs()
+        point_frameworks_at(root)
+        from vtamiq_tpu.train import engine
+        g = C.global_config
+        g["dataset"] = C.DATASET_LIVE
+        g["do_train"], g["do_val"], g["do_test"] = True, True, True
+        g["train_save_latest"] = True
+        g["num_epochs"] = 1 if not args.full else 3
+        g["seed"] = args.seed + i
+        g["output_dir"] = workdir
+        g["is_verbose"] = False
+        g["max_size_buckets"] = 4  # LIVE images vary in size
+        g["num_repeats_test"] = 1
+        C.dataset_split_config_base["split_type"] = C.SPLIT_TYPE_RANDOM
+        C.dataset_config_base["patch_num_scales"] = 3       # 16/32/64 px
+        C.dataset_config_base["patch_sampling_num_scales_ratio"] = 2.0  # 16:4:1
+        if not args.full:
+            C.dataloader_config_vtamiq[C.SPLIT_NAME_TRAIN][C.PATCH_COUNT] = 256
+        runs.append(engine.train())
+    stats = parse_runs(runs, lambda *a: None)
+    out = {"name": "multiscale CAPS (16/32/64 px @ 16:4:1) run_multi sweep on LIVE",
+           "num_runs": num_runs, "stats": stats}
+    srocc_mean = stats.get("SROCC", {}).get("mean")
+    out["pass"] = bool(srocc_mean is not None and np.isfinite(srocc_mean))
+    return out
+
+
+# --------------------------------------------------------------------------
+# config 5: PIPAL 5000-patch train + cross-database eval
+# --------------------------------------------------------------------------
+
+def run_config5(root, args, workdir, kinds):
+    results = {"name": "PIPAL 5000-patch train + cross-database eval"}
+    patch_count = 5000 if args.full else 2048
+
+    C = fresh_configs()
+    from vtamiq_tpu.train import engine
+    g = C.global_config
+    g["dataset"] = C.DATASET_PIPAL
+    g["do_train"], g["do_val"], g["do_test"] = True, False, False
+    g["num_epochs"] = 1
+    g["seed"] = args.seed
+    g["output_dir"] = workdir
+    g["is_verbose"] = False
+    C.vit_config["remat"] = True  # long patch sequences: remat encoder layers
+    if kinds.get("pipal") == "synthetic":
+        C.split_config_pipal[C.SPLIT_NAME_TRAIN] = list(range(0, 6))
+    C.dataloader_config_vtamiq[C.SPLIT_NAME_TRAIN] = {
+        C.BATCH_SIZE: 2, C.PATCH_COUNT: patch_count}
+    engine.train()
+    out_dir = g["output_dir_final"]
+    ckpt = os.path.join(out_dir, "latest.npz")
+    results["train_patch_count"] = patch_count
+    results["checkpoint"] = os.path.basename(ckpt)
+
+    # cross-database eval at 512 patches
+    cross = {}
+    for ds_name, split_override in (
+            ("TID2013", None), ("LIVE", None), ("CSIQ", "synth")):
+        C = fresh_configs()
+        from vtamiq_tpu.train import engine as engine2
+        g = C.global_config
+        g["dataset"] = ds_name
+        g["do_train"], g["do_val"], g["do_test"] = False, False, True
+        g["load_checkpoint_file"] = ckpt
+        g["seed"] = args.seed
+        g["output_dir"] = workdir
+        g["is_verbose"] = False
+        g["num_repeats_test"] = 1 if not args.full else 4
+        if ds_name == "LIVE":
+            g["max_size_buckets"] = 4
+        if ds_name == "CSIQ" and kinds.get("csiq") == "synthetic" and not args.full:
+            C.split_config_csiq[C.SPLIT_NAME_TEST] = list(range(0, 10))
+        cors = engine2.train()
+        cross[ds_name] = {k: float(cors[k]) for k in ("SROCC", "KROCC", "PLCC", "RMSE")} \
+            if cors else None
+    results["cross_database"] = cross
+    results["pass"] = bool(all(
+        v is not None and np.isfinite(v["SROCC"]) for v in cross.values()))
+    return results
+
+
+# --------------------------------------------------------------------------
+# main
+# --------------------------------------------------------------------------
+
+def main(argv=None):
+    args = parse_args(argv)
+    wanted = [int(x) for x in args.configs.split(",") if x.strip()]
+
+    have_ref = install_reference()
+    needed = {"tid2013"}
+    if 3 in wanted:
+        needed.add("kadid10k")
+    if 4 in wanted or 5 in wanted:
+        needed.add("live")
+    if 5 in wanted:
+        needed.update(("pipal", "csiq"))
+    kinds = ensure_datasets(args.root, sorted(needed), args.full)
+    point_frameworks_at(args.root)
+
+    report = {
+        "generated_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "root": args.root, "data": kinds, "mode": "full" if args.full else "quick",
+        "reference_available": bool(have_ref),
+        "configs": {},
+    }
+
+    workdir = tempfile.mkdtemp(prefix="parity_")
+    try:
+        params = cfg = None
+        if 1 in wanted or 2 in wanted:
+            C = fresh_configs()
+            point_frameworks_at(args.root)
+            params, cfg = load_or_train_params(C, args.root, args, workdir)
+            if 1 in wanted:
+                report["configs"]["1"] = (
+                    run_config1(params, cfg, args) if have_ref
+                    else {"skipped": "torch reference unavailable"})
+            if 2 in wanted:
+                report["configs"]["2"] = (
+                    run_config2(params, cfg, C, args) if have_ref
+                    else {"skipped": "torch reference unavailable"})
+        if 3 in wanted:
+            point_frameworks_at(args.root)
+            report["configs"]["3"] = run_config3(args.root, args, workdir, kinds)
+        if 4 in wanted:
+            point_frameworks_at(args.root)
+            report["configs"]["4"] = run_config4(args.root, args, workdir)
+        if 5 in wanted:
+            point_frameworks_at(args.root)
+            report["configs"]["5"] = run_config5(args.root, args, workdir, kinds)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    gates = [c.get("pass") for c in report["configs"].values() if "pass" in c]
+    report["all_pass"] = bool(gates) and all(gates)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2, default=float)
+    print(json.dumps(report, indent=2, default=float))
+    return 0 if report["all_pass"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

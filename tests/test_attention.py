@@ -131,20 +131,58 @@ class TestAttentionFnIntegration:
 
 
 class TestPallasGatherKernel:
-    def test_interpret_mode_exact(self):
-        """Experimental DMA gather kernel: exact vs manual slicing under the
-        Pallas interpreter (hardware lowering pending toolchain support)."""
+    """VMEM-resident gather (ops/gather_kernel.py): the production TPU
+    gather path; exercised here under the Pallas interpreter (CPU). Verified
+    numerically on real v5e hardware too (fp32 + bf16 round-trip,
+    tools session logs, round 2)."""
+
+    def _reference(self, img, ti, tj, P):
+        return np.stack([np.asarray(img)[i:i + P, j:j + P]
+                         for i, j in zip(np.asarray(ti), np.asarray(tj))])
+
+    def test_interpret_mode_exact_fp32(self):
         from jax.experimental.pallas import tpu as pltpu
         from vtamiq_tpu.ops.gather_kernel import pallas_gather_patches
         rng = np.random.default_rng(0)
-        B, H, W, N, P = 2, 64, 96, 20, 16
-        imgs = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)), jnp.float32)
-        ti = jnp.asarray(rng.integers(0, H - P, (B, N)), jnp.int32)
-        tj = jnp.asarray(rng.integers(0, W - P, (B, N)), jnp.int32)
+        H, W, N, P = 64, 96, 20, 16
+        img = jnp.asarray(rng.uniform(0, 1, (H, W, 3)), jnp.float32)
+        ti = jnp.asarray(rng.integers(0, H - P, N), jnp.int32)
+        tj = jnp.asarray(rng.integers(0, W - P, N), jnp.int32)
         with pltpu.force_tpu_interpret_mode():
-            out = pallas_gather_patches(imgs, ti, tj, P, block_n=10)
-        ref = np.stack([
-            np.stack([np.asarray(imgs)[b, ti[b, i]:ti[b, i] + P,
-                                       tj[b, i]:tj[b, i] + P] for i in range(N)])
-            for b in range(B)])
-        np.testing.assert_array_equal(np.asarray(out), ref)
+            out = pallas_gather_patches(img, ti, tj, P)
+        np.testing.assert_array_equal(np.asarray(out), self._reference(img, ti, tj, P))
+
+    def test_interpret_mode_bf16_roundtrip(self):
+        """16-bit inputs route through fp32 inside the kernel (Mosaic dynamic
+        rotate is 32-bit only) and come back bit-identical."""
+        from jax.experimental.pallas import tpu as pltpu
+        from vtamiq_tpu.ops.gather_kernel import pallas_gather_patches
+        rng = np.random.default_rng(1)
+        H, W, N, P = 48, 64, 11, 16
+        img = jnp.asarray(rng.uniform(0, 1, (H, W, 3)), jnp.bfloat16)
+        ti = jnp.asarray(rng.integers(0, H - P, N), jnp.int32)
+        tj = jnp.asarray(rng.integers(0, W - P, N), jnp.int32)
+        with pltpu.force_tpu_interpret_mode():
+            out = pallas_gather_patches(img, ti, tj, P)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(out.astype(jnp.float32)),
+            self._reference(img.astype(jnp.float32), ti, tj, P))
+
+    def test_edge_positions(self):
+        """Extreme top-lefts (0 and dim-P) hit the aligned-band clamping."""
+        from jax.experimental.pallas import tpu as pltpu
+        from vtamiq_tpu.ops.gather_kernel import pallas_gather_patches
+        H, W, P = 40, 48, 16
+        img = jnp.arange(H * W * 3, dtype=jnp.float32).reshape(H, W, 3)
+        ti = jnp.asarray([0, H - P, 3, H - P - 1], jnp.int32)
+        tj = jnp.asarray([0, W - P, W - P, 1], jnp.int32)
+        with pltpu.force_tpu_interpret_mode():
+            out = pallas_gather_patches(img, ti, tj, P)
+        np.testing.assert_array_equal(np.asarray(out), self._reference(img, ti, tj, P))
+
+    def test_vmem_budget_gate(self):
+        from vtamiq_tpu.ops.gather_kernel import vmem_gather_supported
+        assert vmem_gather_supported((384, 512, 3), jnp.bfloat16)
+        assert not vmem_gather_supported((385, 512, 3), jnp.bfloat16)  # H % 8
+        assert not vmem_gather_supported((4096, 4096, 3), jnp.float32)  # bytes

@@ -152,7 +152,7 @@ def dense(params, x, dtype=None):
 
 def mhsa(params, x, num_heads: int, mask: Optional[jnp.ndarray] = None,
          attention_fn=None, return_attention: bool = False,
-         logits_fp32: bool = False):
+         logits_fp32: bool = False, q_len: Optional[int] = None):
     """Multi-head self-attention (reference: transformer.py:125-172).
 
     x: (B, S, H); mask: optional (B, S) bool of valid key positions.
@@ -168,17 +168,24 @@ def mhsa(params, x, num_heads: int, mask: Optional[jnp.ndarray] = None,
     (ViTConfig.attn_logits_fp32) restores fp32 logits storage; fp32 compute
     always uses fp32 logits, so golden parity vs the torch reference is
     unaffected.
+
+    ``q_len``: restrict QUERIES to the first q_len tokens (keys/values stay
+    full) — output (B, q_len, H). Used by the final encoder layer when only
+    the leading CLS/register tokens survive (vit_forward tokens_only): the
+    discarded tokens' outputs are never computed. Exact — the kept tokens'
+    math is unchanged.
     """
     b, s, h = x.shape
     d = h // num_heads
     dtype = x.dtype
 
-    q = dense(params["query"], x, dtype).reshape(b, s, num_heads, d)
+    xq = x if q_len is None else x[:, :q_len]
+    q = dense(params["query"], xq, dtype).reshape(b, xq.shape[1], num_heads, d)
     k = dense(params["key"], x, dtype).reshape(b, s, num_heads, d)
     v = dense(params["value"], x, dtype).reshape(b, s, num_heads, d)
 
     probs_out = None
-    if attention_fn is not None and not return_attention:
+    if attention_fn is not None and not return_attention and q_len is None:
         ctx = attention_fn(q, k, v, mask)
     else:
         logits_dtype = jnp.float32 if (logits_fp32 or dtype == jnp.float32) else dtype
@@ -193,7 +200,7 @@ def mhsa(params, x, num_heads: int, mask: Optional[jnp.ndarray] = None,
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                          preferred_element_type=jnp.float32).astype(dtype)
 
-    ctx = ctx.reshape(b, s, h)
+    ctx = ctx.reshape(b, xq.shape[1], h)
     return dense(params["out"], ctx, dtype), probs_out
 
 
@@ -219,9 +226,14 @@ def drop_path(key, x, prob: float):
 
 def encoder_layer(params, x, cfg: ViTConfig, mask=None, adapter_num: int = -1,
                   train: bool = False, rng: Optional[jax.Array] = None,
-                  attention_fn=None, return_attention: bool = False):
+                  attention_fn=None, return_attention: bool = False,
+                  q_len: Optional[int] = None):
     """Pre-LN block: x += DP(LS1(MHSA(LN(x)))); x += DP(LS2(MLP(LN(x))))
-    (reference: transformer.py:275-285). Returns (x, attn_probs | None)."""
+    (reference: transformer.py:275-285). Returns (x, attn_probs | None).
+
+    ``q_len``: compute the block's output only for the first q_len tokens
+    (final-layer token-slice pushdown; see mhsa). The residual stream and
+    MLP shrink to (B, q_len, H); exact for the kept tokens."""
     use_adapter = cfg.num_adapters > 0 and adapter_num >= 0
     adapter = params.get("adapters", {}).get(f"adapter_{adapter_num}") if use_adapter else None
 
@@ -234,14 +246,14 @@ def encoder_layer(params, x, cfg: ViTConfig, mask=None, adapter_num: int = -1,
     h, attn_probs = mhsa(params["attn"], layer_norm(params["ln1"], x),
                          cfg.num_heads, mask=mask, attention_fn=attention_fn,
                          return_attention=return_attention,
-                         logits_fp32=cfg.attn_logits_fp32)
+                         logits_fp32=cfg.attn_logits_fp32, q_len=q_len)
     if adapter is not None:
         h = adapter_block(adapter["attn"], h)
     if cfg.use_layer_scale:
         h = h * params["ls1"].astype(h.dtype)
     if rng1 is not None:
         h = drop_path(rng1, h, dp_prob)
-    x = x + h
+    x = (x if q_len is None else x[:, :q_len]) + h
 
     h = mlp_block(params["mlp"], layer_norm(params["ln2"], x))
     if adapter is not None:
@@ -372,14 +384,22 @@ def vit_forward(params, cfg: ViTConfig, patches, pos, scales=None, *,
 
     layers = params["encoder"]["layers"]
 
-    def run_layer(layer_params, x, layer_rng):
+    # token-slice pushdown: with tokens_only, the LAST layer computes
+    # queries/MLP only for the first t tokens (everything after them is
+    # discarded by the slice below anyway) — exact, and saves the last
+    # layer's (S - t)-token MLP + logits traffic (~12% of forward FLOPs at
+    # 500 patches). Disabled for the introspection paths, which need full
+    # per-layer states.
+    slice_last = tokens_only and not (return_attention or return_layers)
+
+    def run_layer(layer_params, x, layer_rng, q_len=None):
         return encoder_layer(layer_params, x, cfg, mask=mask,
                              adapter_num=adapter_num, train=train,
                              rng=layer_rng, attention_fn=attention_fn,
-                             return_attention=return_attention)
+                             return_attention=return_attention, q_len=q_len)
 
     if cfg.remat:
-        run_layer = jax.checkpoint(run_layer)
+        run_layer = jax.checkpoint(run_layer, static_argnums=(3,))
 
     attn_weights = []
     layer_states = []
@@ -387,7 +407,9 @@ def vit_forward(params, cfg: ViTConfig, patches, pos, scales=None, *,
         layer_rng = None
         if rng is not None:
             rng, layer_rng = jax.random.split(rng)
-        x, attn_probs = run_layer(layers[f"layer_{i}"], x, layer_rng)
+        last = i == cfg.effective_num_layers - 1
+        x, attn_probs = run_layer(layers[f"layer_{i}"], x, layer_rng,
+                                  t if (slice_last and last) else None)
         if return_attention:
             attn_weights.append(attn_probs)
         if return_layers:

@@ -27,6 +27,7 @@ from .sampling import (
     compute_patch_num_scales,
     DEFAULT_NUM_SAMPLES_RATIO,
 )
+from .gather_kernel import pallas_gather_patches, vmem_gather_supported
 
 
 def gather_patches(img: jnp.ndarray, topleft: jnp.ndarray, patch_dim: int) -> jnp.ndarray:
@@ -49,6 +50,12 @@ def gather_patches(img: jnp.ndarray, topleft: jnp.ndarray, patch_dim: int) -> jn
     c = img.shape[2]
     ti = jnp.clip(jnp.floor(topleft[0]).astype(jnp.int32), 0, h - patch_dim)
     tj = jnp.clip(jnp.floor(topleft[1]).astype(jnp.int32), 0, w - patch_dim)
+
+    if jax.default_backend() != "cpu" and vmem_gather_supported(img.shape, img.dtype):
+        # Pallas VMEM-resident gather: no per-patch HBM DMA descriptors
+        # (gather_kernel.py); the descriptor-rate-bound XLA gather below is
+        # the fallback for CPU tests and images past the VMEM budget
+        return pallas_gather_patches(img, ti, tj, patch_dim)
 
     def slice_one(i, j):
         return jax.lax.dynamic_slice(img, (i, j, 0), (patch_dim, patch_dim, c))

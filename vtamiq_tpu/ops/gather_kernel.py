@@ -46,15 +46,24 @@ VMEM_IMAGE_BYTE_LIMIT = 8 * 1024 * 1024
 def _vmem_gather_kernel(ti_ref, tj_ref, img_ref, out_ref, *,
                         patch_dim: int, num_patches: int, c: int):
     """Grid step = one image. img_ref: (H, W*C) VMEM block; ti/tj: (N,)
-    scalar-prefetched top-left coords; out_ref: (N*P, P*C) VMEM block."""
-    wc = img_ref.shape[1]
+    scalar-prefetched top-left coords; out_ref: (N*P, P*C) VMEM block.
+
+    Mosaic only allows dynamic sublane offsets it can prove 8-aligned, so
+    each patch loads an 8-aligned (P+8)-row band and rotates the target
+    rows to the top; the column offset is a dynamic lane rotate."""
+    h, wc = img_ref.shape
+    band_rows = patch_dim + 8
 
     def body(k, carry):
         i = ti_ref[k]
         j = tj_ref[k]
-        band = img_ref[pl.ds(i, patch_dim), :]              # (P, W*C)
+        base = pl.multiple_of(
+            jnp.minimum((i // 8) * 8, h - band_rows), 8)
+        band = img_ref[pl.ds(base, band_rows), :]           # (P+8, W*C)
+        # rotate rows so row i lands at 0 (np.roll: out[r] = in[(r-s) % R])
+        band = pltpu.roll(band, band_rows - (i - base), 0)
         # rotate so columns [j*c, j*c + P*c) land at [0, P*c)
-        rot = pltpu.roll(band, wc - j * c, 1)
+        rot = pltpu.roll(band[:patch_dim], wc - j * c, 1)
         out_ref[pl.ds(k * patch_dim, patch_dim), :] = rot[:, : patch_dim * c]
         return carry
 
@@ -67,6 +76,12 @@ def pallas_gather_patches(img: jnp.ndarray, ti: jnp.ndarray, tj: jnp.ndarray,
     (N, P, P, C) pixel blocks."""
     h, w, c = img.shape
     n = ti.shape[0]
+    orig_dtype = img.dtype
+    if jnp.dtype(orig_dtype).itemsize < 4:
+        # Mosaic's dynamic rotate requires 32-bit data; the fp32 round-trip
+        # adds ~3 MB/image of fused cast traffic — noise next to the
+        # ~1.2 ms/pair the kernel saves over the XLA gather
+        img = img.astype(jnp.float32)
     flat = img.reshape(h, w * c)
     kernel = functools.partial(_vmem_gather_kernel, patch_dim=patch_dim,
                                num_patches=n, c=c)
@@ -81,10 +96,12 @@ def pallas_gather_patches(img: jnp.ndarray, ti: jnp.ndarray, tj: jnp.ndarray,
         ),
         out_shape=jax.ShapeDtypeStruct((n * patch_dim, patch_dim * c), img.dtype),
     )(ti.astype(jnp.int32), tj.astype(jnp.int32), flat)
-    return out.reshape(n, patch_dim, patch_dim, c)
+    return out.reshape(n, patch_dim, patch_dim, c).astype(orig_dtype)
 
 
 def vmem_gather_supported(img_shape, dtype) -> bool:
-    """True when the image fits the kernel's VMEM budget."""
+    """True when the image fits the kernel's VMEM budget and the row count
+    supports 8-aligned band loads (H a multiple of 8, at least one band)."""
     h, w, c = img_shape
-    return h * w * c * jnp.dtype(dtype).itemsize <= VMEM_IMAGE_BYTE_LIMIT
+    return (h % 8 == 0 and h >= 32
+            and h * w * c * jnp.dtype(dtype).itemsize <= VMEM_IMAGE_BYTE_LIMIT)

@@ -416,8 +416,10 @@ def build_model_config() -> VTAMIQConfig:
         path_drop_prob=vit_config["path_drop_prob"],
         vit_weights_path=global_config.get("vit_weights_path"),
     )
-    # optional architecture overrides (scaled-down test configs)
-    for knob in ("hidden_size", "mlp_dim", "num_heads", "num_layers", "img_dim"):
+    # optional architecture overrides (scaled-down test configs; remat for
+    # long patch sequences)
+    for knob in ("hidden_size", "mlp_dim", "num_heads", "num_layers",
+                 "img_dim", "remat"):
         if knob in vit_config:
             overrides[knob] = vit_config[knob]
     vc = get_vit_config(vit_config["variant"], **overrides)
