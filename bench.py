@@ -28,21 +28,17 @@ BATCH = 16
 PATCHES = 500
 IMG_H, IMG_W = 384, 512  # TID2013-like input
 WARMUP = 1
-ITERS = 40
+ITERS = 60
 CACHE = os.path.join(REPO, ".bench_torch_cpu.json")
 
 
 def _enable_compile_cache():
-    """Persistent XLA compilation cache — first compile of the big fused
-    pipeline is slow on this remote-compile setup; subsequent runs hit disk."""
-    try:
-        import jax
-        cache_dir = os.path.join(REPO, ".jax_cache")
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+    """DISABLED: executables loaded from the persistent XLA compile cache
+    "execute" on this tunneled TPU service WITHOUT running (instant returns,
+    nonsense timings — every process that compiled measured sanely; every
+    process that cache-loaded measured ~760k pairs/s). The one-time compile
+    (~15 s pipeline, ~1-3 min train step) is the price of real numbers."""
+    return
 
 
 def measure_jax():
@@ -57,7 +53,15 @@ def measure_jax():
     cfg = VTAMIQConfig(vit=get_vit_config(num_keep_layers=6, num_extra_tokens=8))
     params = init_vtamiq_params(jax.random.PRNGKey(0), cfg)
     sampler = PatchSampler()  # shipped config: uniform stratified (PERTURBED_SIMPLE)
-    extract = make_extract_fn(sampler, ExtractConfig(patch_count=PATCHES, patch_dim=16))
+
+    # PROGRAM salt: the TPU service memoizes executions by compiled-program
+    # fingerprint (observed to replay results for fresh inputs). A per-run
+    # constant baked into the normalization constants gives every bench run
+    # a unique executable at numerically-negligible cost (eps ~ 1e-10).
+    salt = (int(time.time_ns()) % 997) * 1e-13
+    ecfg = ExtractConfig(patch_count=PATCHES, patch_dim=16,
+                         norm_mean=(0.5 + salt, 0.5, 0.5))
+    extract = make_extract_fn(sampler, ecfg)
 
     def pipeline(params, imgs_raw, key):
         patches, pos, scales = extract(imgs_raw, key)
@@ -78,14 +82,15 @@ def measure_jax():
     # hits a device/compiler fault on this environment's TPU service; the
     # split stages are reliable and measure the same device work.
     extract_j = jax.jit(lambda r, k: extract(r, k))
-    forward_j = jax.jit(lambda p, x, uv, s: vtamiq_forward(p, cfg, x, uv, s))
+    forward_j = jax.jit(
+        lambda p, x, uv, s: vtamiq_forward(p, cfg, x, uv, s)
+        + jnp.float32(salt))  # program-salted like the fused pipeline
 
     def split_run(params, raw, key, iters):
         for i in range(iters):
             patches, pos, scales = extract_j(raw, jax.random.fold_in(key, i))
             q = forward_j(params, patches, pos, scales)
-        q.block_until_ready()
-        return q
+        return float(q[0])  # host transfer = the only reliable completion barrier
 
     # time-based seed: this environment's TPU service memoizes executions by
     # (program, inputs) across processes — a fixed seed would replay a cached
@@ -95,25 +100,115 @@ def measure_jax():
     raw = jnp.asarray(rng.uniform(0, 1, (BATCH, 2, IMG_H, IMG_W, 3)), jnp.float32)
     key = jax.random.PRNGKey(seed)
 
+    # single-chip physical ceiling: the forward alone is ~97 GFLOP/pair;
+    # v5e peak 197 TFLOPS bf16 => < 2040 pairs/s even at 100% MFU. Faster
+    # readings mean the relay served results without executing (a transient
+    # service state observed even for fresh (program, inputs)); such trials
+    # are rejected, and after an all-replayed round the bench re-draws FRESH
+    # input data and sleeps to let the service state pass.
+    IMPLAUSIBLE_PAIRS_PER_SEC = 5000.0
+    min_dt = BATCH * ITERS / IMPLAUSIBLE_PAIRS_PER_SEC
+
+    def fresh_inputs():
+        s = int(time.time_ns()) & 0x7FFFFFFF
+        r = np.random.default_rng(s)
+        return (jnp.asarray(r.uniform(0, 1, (BATCH, 2, IMG_H, IMG_W, 3)),
+                            jnp.float32), jax.random.PRNGKey(s))
+
+    def timed_trials(make_fn, n_trials=3, max_rounds=4, sleep_s=45.0):
+        """Median of n plausible timed runs; each round uses fresh random
+        images + keys; implausibly fast (non-executed) trials are discarded
+        and the round repeats after a cool-down."""
+        times = []
+        for round_ in range(max_rounds):
+            raw_r, key_r = fresh_inputs()
+            fn = make_fn(raw_r)
+            for t in range(n_trials):
+                t0 = time.perf_counter()
+                float(fn(jax.random.fold_in(key_r, t)))  # see barrier note
+                dt = time.perf_counter() - t0
+                if dt >= min_dt:
+                    times.append(dt)
+            if len(times) >= n_trials:
+                return sorted(times)[len(times) // 2]
+            print(f"bench: round {round_}: implausibly-fast trials discarded "
+                  f"(relay served without executing); cooling down "
+                  f"{sleep_s:.0f}s and re-drawing fresh inputs", file=sys.stderr)
+            time.sleep(sleep_s)
+        if times:
+            return sorted(times)[len(times) // 2]
+        raise RuntimeError("all timed trials implausibly fast (relay replay)")
+
     try:
-        for w in range(WARMUP):
-            acc = pipeline_n(params, raw, jax.random.fold_in(key, 1000 + w))
-        acc.block_until_ready()
-        t0 = time.perf_counter()
-        acc = pipeline_n(params, raw, key)
-        acc.block_until_ready()
-        dt = time.perf_counter() - t0
+        # warmup: FORCE the scalar to host — on this tunneled service,
+        # block_until_ready on the first post-compile result returns
+        # immediately while the execution is still queued (measured: block
+        # 0.000s, then float() waited 97s); only a device->host transfer
+        # reliably barriers. All timed consumption below uses float().
+        float(pipeline_n(params, raw, jax.random.fold_in(key, 1000)))
+        dt = timed_trials(lambda raw_r: (lambda k: pipeline_n(params, raw_r, k)))
     except Exception as e:
         print(f"fused pipeline failed ({type(e).__name__}); "
               f"falling back to split stages", file=sys.stderr)
         split_run(params, raw, key, 2)  # warmup/compile
-        t0 = time.perf_counter()
-        split_run(params, raw, key, ITERS)
-        dt = time.perf_counter() - t0
+        dt = None
+        for attempt in range(3):
+            raw_r, key_r = fresh_inputs()
+            t0 = time.perf_counter()
+            split_run(params, raw_r, key_r, ITERS)
+            dt = time.perf_counter() - t0
+            if dt >= min_dt:
+                break
+            print("bench: split-stage trial also implausibly fast; "
+                  "cooling down 45s", file=sys.stderr)
+            time.sleep(45.0)
 
     pairs_per_sec = BATCH * ITERS / dt
+
+    # full fused TRAIN step rate (sampling -> extraction -> fwd/bwd -> AdamW),
+    # reported as an extra metric (VERDICT r01 item 2)
+    train_pairs_per_sec = None
+    try:
+        import optax
+        from vtamiq_tpu.train.steps import make_train_step
+        from vtamiq_tpu.train.optim import build_freeze_mask
+        from vtamiq_tpu.ops.losses import loss_func_iqa  # noqa: F401 (warm import)
+        optimizer = optax.adamw(5e-5, weight_decay=0.01)
+        t_params = init_vtamiq_params(jax.random.PRNGKey(0), cfg)
+        opt_state = optimizer.init(t_params)
+        mask = build_freeze_mask(t_params, False, None)
+        step = make_train_step(cfg, sampler, ecfg, optimizer)  # ecfg: salted
+        qs = jnp.asarray(rng.uniform(0, 1, (BATCH,)), jnp.float32)
+        valid = jnp.asarray(BATCH)
+        lw = jnp.asarray((1.0, 1.0, 1.0), jnp.float32)
+
+        def run_steps(k, n):
+            nonlocal t_params, opt_state
+            for i in range(n):
+                t_params, opt_state, metrics, _ = step(
+                    t_params, opt_state, mask, raw, qs, valid,
+                    jax.random.fold_in(k, i), lw)
+            return float(metrics["loss"])  # host-transfer barrier
+
+        run_steps(jax.random.fold_in(key, 2000), 1)  # compile
+        n_train = 10
+        # train fwd+bwd is ~3x the forward FLOPs: ceiling < 700 pairs/s
+        train_bound = 1500.0
+        times = []
+        for t in range(6):
+            t0 = time.perf_counter()
+            run_steps(jax.random.fold_in(key, 3000 + t), n_train)
+            dt_t = time.perf_counter() - t0
+            if BATCH * n_train / dt_t < train_bound:
+                times.append(dt_t)
+            if len(times) == 2:
+                break
+        train_pairs_per_sec = BATCH * n_train / min(times) if times else None
+    except Exception as e:
+        print(f"train-step bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+
     device = str(jax.devices()[0])
-    return pairs_per_sec, device
+    return pairs_per_sec, train_pairs_per_sec, device
 
 
 def measure_torch_cpu_baseline():
@@ -206,20 +301,23 @@ def measure_torch_cpu_baseline():
 
 
 def main():
-    value, device = measure_jax()
+    value, train_value, device = measure_jax()
     try:
         baseline = measure_torch_cpu_baseline()
     except Exception as e:
         print(f"torch baseline failed: {e}", file=sys.stderr)
         baseline = None
     vs = (value / baseline) if baseline else -1.0
-    print(json.dumps({
+    out = {
         "metric": f"VTAMIQ ref/dist image pairs/sec ({device}; ViT-B/16 6L, "
                   f"{PATCHES} patches, batch {BATCH}, full on-device pipeline)",
         "value": round(value, 3),
         "unit": "pairs/sec",
         "vs_baseline": round(vs, 3),
-    }))
+    }
+    if train_value is not None:
+        out["train_pairs_per_sec"] = round(train_value, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

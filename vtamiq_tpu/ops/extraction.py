@@ -30,37 +30,49 @@ from .sampling import (
 from .gather_kernel import pallas_gather_patches, vmem_gather_supported
 
 
-def gather_patches(img: jnp.ndarray, topleft: jnp.ndarray, patch_dim: int) -> jnp.ndarray:
+def gather_patches(img: jnp.ndarray, topleft: jnp.ndarray, patch_dim: int,
+                   tile_norm: Optional[tuple] = None) -> jnp.ndarray:
     """Gather square pixel blocks.
 
     img: (H, W, C); topleft: (2, N) float/int top-left coords ->
     (N, P, P, C). Float coordinates are floored (the reference's integer
     meshgrid indexing, patch_sampling.py:539-545).
 
-    Implemented as a vmapped dynamic_slice — XLA lowers this to ONE gather
-    with slice_sizes=(P, P, C), i.e. one index pair per patch. Measured
-    IN CONTEXT (vmapped over the batch inside the fused extract step,
-    tools/profile_experiments4.py, v5e, 500x16x16 patches, batch 16x2):
-    dynamic_slice 1.207 ms/pair vs 1.455 for per-patch-row strip gathers
-    and 1.900 for per-pixel flat fancy-indexing. (Isolated single-image
-    microbenchmarks rank these the OPPOSITE way — they measure serial
-    dispatch latency, not batched throughput; trust only in-context runs.)
+    ``tile_norm``: optional (mean(C,), std(C,), out_dtype) STATIC spec; the
+    model-input normalization is applied per gathered tile ((x-mean)/std,
+    cast to out_dtype) instead of over the full image — fused for free into
+    the Pallas kernel's tile store; the full normalized image is never
+    materialized (+4% fused pipeline on v5e, tools/profile_experiments7.py).
+
+    On TPU, for images within the VMEM budget, this is a Pallas VMEM-
+    resident kernel with no per-patch HBM DMA descriptors (gather_kernel.py)
+    — the vmapped dynamic_slice below (one XLA gather, descriptor-rate
+    bound: 1.207 ms/pair at 500x16x16, batch 16x2) is the fallback for CPU
+    tests and oversized images. (Isolated single-image microbenchmarks rank
+    gather strategies the OPPOSITE way of in-context runs — they measure
+    serial dispatch latency, not batched throughput; trust only in-context,
+    tools/profile_experiments4.py.)
     """
     h, w = img.shape[0], img.shape[1]
     c = img.shape[2]
     ti = jnp.clip(jnp.floor(topleft[0]).astype(jnp.int32), 0, h - patch_dim)
     tj = jnp.clip(jnp.floor(topleft[1]).astype(jnp.int32), 0, w - patch_dim)
+    mean, std, out_dtype = tile_norm if tile_norm is not None else (None, None, None)
 
     if jax.default_backend() != "cpu" and vmem_gather_supported(img.shape, img.dtype):
-        # Pallas VMEM-resident gather: no per-patch HBM DMA descriptors
-        # (gather_kernel.py); the descriptor-rate-bound XLA gather below is
-        # the fallback for CPU tests and images past the VMEM budget
-        return pallas_gather_patches(img, ti, tj, patch_dim)
+        return pallas_gather_patches(img, ti, tj, patch_dim,
+                                     norm_mean=mean, norm_std=std,
+                                     out_dtype=out_dtype)
 
     def slice_one(i, j):
         return jax.lax.dynamic_slice(img, (i, j, 0), (patch_dim, patch_dim, c))
 
-    return jax.vmap(slice_one)(ti, tj)
+    out = jax.vmap(slice_one)(ti, tj)
+    if tile_norm is not None:
+        if mean is not None:
+            out = (out - jnp.asarray(mean, out.dtype)) / jnp.asarray(std, out.dtype)
+        out = out.astype(out_dtype)
+    return out
 
 
 def avgpool2x(img: jnp.ndarray) -> jnp.ndarray:
@@ -95,6 +107,7 @@ def get_iqa_patches(
     use_aligned_patches: bool = True,
     randomize_patch_scale_order: bool = False,
     img_hw: Optional[jnp.ndarray] = None,
+    tile_norm: Optional[tuple] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
     """Sample + extract multiscale patches for a set of images.
 
@@ -116,6 +129,11 @@ def get_iqa_patches(
         cap (compute_patch_num_scales) uses the static bucket dims — buckets
         are chosen close to the true sizes (data/buckets.py), so the cap
         matches in practice.
+      tile_norm: optional (mean, std, out_dtype) STATIC normalization spec
+        applied per gathered tile (see gather_patches). Pass ``tensors`` ==
+        raw pixels with it: normalization is affine, so it commutes with
+        the mean-pool pyramid — the values match pre-normalizing the whole
+        image exactly, without ever materializing the normalized copy.
 
     Returns:
       patches (K, N, P, P, 3), pos (K, N, 2) uv centers in [0,1),
@@ -175,7 +193,8 @@ def get_iqa_patches(
             sc_patches = []
             sc_pos = []
             for k in range(num_imgs):
-                sc_patches.append(gather_patches(cur[k], samples[k], patch_dim))
+                sc_patches.append(gather_patches(cur[k], samples[k], patch_dim,
+                                                 tile_norm=tile_norm))
                 uv = (samples[k].T + half) / hw_ratio  # (N_s, 2)
                 sc_pos.append(jnp.clip(uv, 0.0, 1.0 - 1e-6))
             patches_per_scale.append(jnp.stack(sc_patches))          # (K, N_s, P, P, 3)

@@ -44,15 +44,36 @@ VMEM_IMAGE_BYTE_LIMIT = 8 * 1024 * 1024
 
 
 def _vmem_gather_kernel(ti_ref, tj_ref, img_ref, out_ref, *,
-                        patch_dim: int, num_patches: int, c: int):
+                        patch_dim: int, num_patches: int, c: int,
+                        mean=None, inv_std=None):
     """Grid step = one image. img_ref: (H, W*C) VMEM block; ti/tj: (N,)
     scalar-prefetched top-left coords; out_ref: (N*P, P*C) VMEM block.
 
     Mosaic only allows dynamic sublane offsets it can prove 8-aligned, so
     each patch loads an 8-aligned (P+8)-row band and rotates the target
-    rows to the top; the column offset is a dynamic lane rotate."""
+    rows to the top; the column offset is a dynamic lane rotate.
+
+    ``mean``/``inv_std``: optional static per-channel normalization fused
+    into the tile store ((x - mean) * inv_std, then cast to the output
+    dtype) — the model-input normalize costs nothing extra here, and the
+    full normalized image is never materialized."""
     h, wc = img_ref.shape
     band_rows = patch_dim + 8
+
+    mean_row = inv_row = None
+    if mean is not None:
+        # per-lane channel constants from static floats (pallas kernels
+        # cannot capture traced array constants)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (1, patch_dim * c), 1) % c
+
+        def chanvec(vals):
+            v = jnp.full((1, patch_dim * c), float(vals[0]), jnp.float32)
+            for ci in range(1, c):
+                v = jnp.where(idx == ci, float(vals[ci]), v)
+            return v
+
+        mean_row = chanvec(mean)
+        inv_row = chanvec(inv_std)
 
     def body(k, carry):
         i = ti_ref[k]
@@ -64,27 +85,38 @@ def _vmem_gather_kernel(ti_ref, tj_ref, img_ref, out_ref, *,
         band = pltpu.roll(band, band_rows - (i - base), 0)
         # rotate so columns [j*c, j*c + P*c) land at [0, P*c)
         rot = pltpu.roll(band[:patch_dim], wc - j * c, 1)
-        out_ref[pl.ds(k * patch_dim, patch_dim), :] = rot[:, : patch_dim * c]
+        tile = rot[:, : patch_dim * c]
+        if mean_row is not None:
+            tile = (tile - mean_row) * inv_row
+        out_ref[pl.ds(k * patch_dim, patch_dim), :] = tile.astype(out_ref.dtype)
         return carry
 
     jax.lax.fori_loop(0, num_patches, body, 0)
 
 
 def pallas_gather_patches(img: jnp.ndarray, ti: jnp.ndarray, tj: jnp.ndarray,
-                          patch_dim: int) -> jnp.ndarray:
+                          patch_dim: int, norm_mean=None, norm_std=None,
+                          out_dtype=None) -> jnp.ndarray:
     """img (H, W, C), ti/tj (N,) int32 (pre-clipped to [0, dim-P]) ->
-    (N, P, P, C) pixel blocks."""
+    (N, P, P, C) pixel blocks.
+
+    ``norm_mean``/``norm_std``: optional STATIC per-channel tuples; the
+    normalize fuses into the tile store. ``out_dtype`` defaults to the
+    input dtype."""
     h, w, c = img.shape
     n = ti.shape[0]
-    orig_dtype = img.dtype
-    if jnp.dtype(orig_dtype).itemsize < 4:
+    out_dtype = jnp.dtype(out_dtype or img.dtype)
+    if jnp.dtype(img.dtype).itemsize < 4:
         # Mosaic's dynamic rotate requires 32-bit data; the fp32 round-trip
         # adds ~3 MB/image of fused cast traffic — noise next to the
         # ~1.2 ms/pair the kernel saves over the XLA gather
         img = img.astype(jnp.float32)
     flat = img.reshape(h, w * c)
-    kernel = functools.partial(_vmem_gather_kernel, patch_dim=patch_dim,
-                               num_patches=n, c=c)
+    inv_std = None if norm_std is None else tuple(1.0 / float(s) for s in norm_std)
+    kernel = functools.partial(
+        _vmem_gather_kernel, patch_dim=patch_dim, num_patches=n, c=c,
+        mean=None if norm_mean is None else tuple(map(float, norm_mean)),
+        inv_std=inv_std)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -94,9 +126,9 @@ def pallas_gather_patches(img: jnp.ndarray, ti: jnp.ndarray, tj: jnp.ndarray,
             out_specs=pl.BlockSpec((n * patch_dim, patch_dim * c),
                                    lambda g, ti, tj: (0, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((n * patch_dim, patch_dim * c), img.dtype),
+        out_shape=jax.ShapeDtypeStruct((n * patch_dim, patch_dim * c), out_dtype),
     )(ti.astype(jnp.int32), tj.astype(jnp.int32), flat)
-    return out.reshape(n, patch_dim, patch_dim, c).astype(orig_dtype)
+    return out.reshape(n, patch_dim, patch_dim, c)
 
 
 def vmem_gather_supported(img_shape, dtype) -> bool:

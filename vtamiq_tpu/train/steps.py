@@ -74,25 +74,28 @@ def make_extract_fn(sampler: PatchSampler, ecfg: ExtractConfig) -> Callable:
         def normalize(raw):
             # per-channel sRGB->linear, SDR display model, PU21, rescaled to
             # ~[0,1] — matches the host-side pu_encode_srgb reference
-            # (utils/color_spaces.py:142-152)
+            # (utils/color_spaces.py:142-152). PU is nonlinear, so it cannot
+            # fuse into the per-tile gather normalize; the encoded image is
+            # materialized like the reference's host-side copy.
             lin = srgb_to_linear_jnp(raw)
             lum = (ecfg.pu_peak_luminance - 0.5) * lin + 0.5
             pu = pu21_encode_jnp(lum)
             peak = pu21_encode_jnp(jnp.asarray(ecfg.pu_peak_luminance))
             return (pu / peak).astype(gather_dtype)
-    elif ecfg.norm_mean is not None and ecfg.norm_std is not None:
-        mean = jnp.asarray(ecfg.norm_mean, jnp.float32)
-        std = jnp.asarray(ecfg.norm_std, jnp.float32)
-        normalize = lambda raw: ((raw - mean) / std).astype(gather_dtype)
+        tile_norm = None
     else:
-        normalize = lambda raw: raw.astype(gather_dtype)
+        # affine normalization fuses into the gather tile store (and it
+        # commutes with the pyramid's mean-pool), so the normalized image
+        # is never materialized; ``tensors`` stays the raw fp32 pixels
+        normalize = lambda raw: raw
+        tile_norm = (ecfg.norm_mean, ecfg.norm_std, gather_dtype)
 
     def extract_one(raw, key, hw=None):
         return get_iqa_patches(
             raw, normalize(raw), key, ecfg.patch_count, ecfg.patch_dim, sampler,
             ecfg.patch_num_scales, ecfg.scale_num_samples_ratio,
             ecfg.use_aligned_patches, ecfg.randomize_patch_scale_order,
-            img_hw=hw)
+            img_hw=hw, tile_norm=tile_norm)
 
     def extract(imgs_raw, key, img_hw=None):
         """img_hw: optional (B, 2) int32 TRUE sizes for padded-bucket batches
