@@ -140,6 +140,46 @@ class TestDiffAndCenterbias:
         assert abs(cb.sum() - 1.0) < 1e-5
         assert cb[32, 48] > cb[0, 0]
 
+    def test_centerbias_template_loads_from_real_file(self, tmp_path, monkeypatch):
+        """Real .npy template file (the reference's centerbias.npy format,
+        patch_sampling.py:47,79-80) flows through the loader into the
+        sampler and changes the probability map vs the analytic fallback."""
+        from vtamiq_tpu.ops.sampling import load_centerbias_template
+
+        # an off-center log-density, clearly distinct from the analytic prior
+        tpl = gaussian_centerbias_logdensity(256).astype(np.float32)
+        tpl = np.roll(tpl, 64, axis=1)
+        path = tmp_path / "centerbias.npy"
+        np.save(path, tpl)
+
+        # explicit-path load
+        loaded = load_centerbias_template(str(path))
+        np.testing.assert_array_equal(loaded, tpl)
+
+        # env-var resolution feeds PatchSampler's default ctor path
+        monkeypatch.setenv("VTAMIQ_CENTERBIAS_PATH", str(path))
+        s = PatchSampler(centerbias_weight=1.0, uniform_weight=0.0,
+                         grid_type=GRID_TYPE_PERTURBED)
+        np.testing.assert_array_equal(s.centerbias_template, tpl)
+        prob = np.asarray(s.sample_prob(64, 96, None))
+        assert abs(prob.sum() - 1.0) < 1e-4
+        # the rolled template's mass peaks right of center
+        assert prob[:, 48:].sum() > prob[:, :48].sum()
+
+    def test_centerbias_template_missing_falls_back_analytic(self, monkeypatch):
+        monkeypatch.delenv("VTAMIQ_CENTERBIAS_PATH", raising=False)
+        s = PatchSampler(centerbias_weight=1.0, uniform_weight=0.0,
+                         grid_type=GRID_TYPE_PERTURBED)
+        np.testing.assert_allclose(
+            s.centerbias_template, gaussian_centerbias_logdensity())
+
+    def test_centerbias_template_bad_rank_raises(self, tmp_path):
+        from vtamiq_tpu.ops.sampling import load_centerbias_template
+        path = tmp_path / "bad.npy"
+        np.save(path, np.zeros((4, 4, 3), np.float32))
+        with pytest.raises(ValueError):
+            load_centerbias_template(str(path))
+
 
 class TestSamplerConfig:
     def test_perturbed_simple_forces_uniform(self):

@@ -228,6 +228,30 @@ def gaussian_centerbias_logdensity(size: int = 1024, sigma_y: float = 0.28,
     return -0.5 * ((yy / sigma_y) ** 2 + (xx / sigma_x) ** 2)
 
 
+def load_centerbias_template(path: Optional[str] = None) -> Optional[np.ndarray]:
+    """Load the MIT1003-derived center-prior log-density from disk.
+
+    The reference hardcodes ``modules/Attention/deepgaze2/centerbias.npy``
+    (patch_sampling.py:47,79-80).  Here the template resolves, in order, from
+    ``path``, ``$VTAMIQ_CENTERBIAS_PATH``, and the packaged asset location
+    ``vtamiq_tpu/assets/centerbias.npy``; returns None when no file exists
+    (callers fall back to :func:`gaussian_centerbias_logdensity`).
+    """
+    import os
+    candidates = [path, os.environ.get("VTAMIQ_CENTERBIAS_PATH"),
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), "assets", "centerbias.npy")]
+    for cand in candidates:
+        if cand and os.path.isfile(cand):
+            template = np.load(cand)
+            if template.ndim != 2:
+                raise ValueError(
+                    f"centerbias template must be 2-D log-density, got "
+                    f"shape {template.shape} from {cand}")
+            return np.asarray(template, np.float32)
+    return None
+
+
 def centerbias_prob(template_logdensity: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """Resize the log-density to (h, w), renormalize, softmax to probabilities
     (PatchSampler.centerbias_prob, patch_sampling.py:173-182)."""
@@ -512,6 +536,8 @@ class PatchSampler:
         self.uniform_weight = max(0.0, self.uniform_weight)
         if self.centerbias_weight + self.diff_weight + self.uniform_weight < 1e-6:
             raise ValueError("PatchSampler: total weight must be non-zero.")
+        if self.centerbias_weight > 0 and self.centerbias_template is None:
+            self.centerbias_template = load_centerbias_template()
         if self.centerbias_weight > 0 and self.centerbias_template is None:
             self.centerbias_template = gaussian_centerbias_logdensity()
 
