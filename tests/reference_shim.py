@@ -83,12 +83,54 @@ def install_reference(path: str = REFERENCE_PATH) -> bool:
         sys.modules["skimage.util.shape"] = skimage_util_shape
 
     if "torchvision" not in sys.modules:
-        # stub: only needed so reference module imports resolve; the parity
-        # tests never execute the torchvision code paths
+        # functional stand-in: the parity harness drives the reference's FULL
+        # data path (data/utils.py transform_img), so to_tensor/crop/flip/
+        # grayscale/normalize must be real, torchvision-exact implementations
+        import numpy as _np
+        import torch as _torch
+
         tv = types.ModuleType("torchvision")
         tv_transforms = types.ModuleType("torchvision.transforms")
         tv_functional = types.ModuleType("torchvision.transforms.functional")
         tv_models = types.ModuleType("torchvision.models")
+
+        def _to_tensor(img):
+            arr = _np.asarray(img)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            t = _torch.from_numpy(_np.ascontiguousarray(arr.transpose(2, 0, 1)))
+            if t.dtype == _torch.uint8:
+                return t.float().div(255.0)
+            return t.float()
+
+        def _crop(tensor, i, j, h, w):
+            return tensor[..., i:i + h, j:j + w]
+
+        def _hflip(tensor):
+            return tensor.flip(-1)
+
+        def _vflip(tensor):
+            return tensor.flip(-2)
+
+        def _rgb_to_grayscale(tensor, num_output_channels=1):
+            r, g, b = tensor.unbind(dim=-3)
+            l = (0.2989 * r + 0.587 * g + 0.114 * b).to(tensor.dtype)
+            l = l.unsqueeze(dim=-3)
+            if num_output_channels == 3:
+                l = l.expand(*tensor.shape[:-3], 3, *tensor.shape[-2:])
+            return l
+
+        def _normalize(tensor, mean, std, inplace=False):
+            mean = _torch.as_tensor(mean, dtype=tensor.dtype).view(-1, 1, 1)
+            std = _torch.as_tensor(std, dtype=tensor.dtype).view(-1, 1, 1)
+            return (tensor - mean) / std
+
+        tv_functional.to_tensor = _to_tensor
+        tv_functional.crop = _crop
+        tv_functional.hflip = _hflip
+        tv_functional.vflip = _vflip
+        tv_functional.rgb_to_grayscale = _rgb_to_grayscale
+        tv_functional.normalize = _normalize
 
         class _VGG16Weights:
             class IMAGENET1K_V1:
