@@ -159,9 +159,14 @@ def measure_jax():
             dt = time.perf_counter() - t0
             if dt >= min_dt:
                 break
+            dt = None
             print("bench: split-stage trial also implausibly fast; "
                   "cooling down 45s", file=sys.stderr)
             time.sleep(45.0)
+        if dt is None:
+            # CLAUDE.md rule 5: never report a physically-implausible reading
+            raise RuntimeError(
+                "all split-stage trials implausibly fast (relay replay)")
 
     pairs_per_sec = BATCH * ITERS / dt
 

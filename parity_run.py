@@ -394,6 +394,8 @@ def run_config4(root, args, workdir):
         C.dataset_split_config_base["split_type"] = C.SPLIT_TYPE_RANDOM
         C.dataset_config_base["patch_num_scales"] = 3       # 16/32/64 px
         C.dataset_config_base["patch_sampling_num_scales_ratio"] = 2.0  # 16:4:1
+        C.vit_config["num_scales"] = 3  # scale embedding on (validate_configs
+        # asserts model/dataset scale agreement, reference train_config.py:772)
         if not args.full:
             C.dataloader_config_vtamiq[C.SPLIT_NAME_TRAIN][C.PATCH_COUNT] = 256
         runs.append(engine.train())
@@ -486,6 +488,12 @@ def main(argv=None):
         "configs": {},
     }
 
+    def checkpoint_report():
+        """Incremental dump: a late-config crash must not lose earlier
+        results (each config is a separate full engine/eval run)."""
+        with open(args.out + ".partial", "w") as f:
+            json.dump(report, f, indent=2, default=float)
+
     workdir = tempfile.mkdtemp(prefix="parity_")
     try:
         params = cfg = None
@@ -497,19 +505,24 @@ def main(argv=None):
                 report["configs"]["1"] = (
                     run_config1(params, cfg, args) if have_ref
                     else {"skipped": "torch reference unavailable"})
+                checkpoint_report()
             if 2 in wanted:
                 report["configs"]["2"] = (
                     run_config2(params, cfg, C, args) if have_ref
                     else {"skipped": "torch reference unavailable"})
+                checkpoint_report()
         if 3 in wanted:
             point_frameworks_at(args.root)
             report["configs"]["3"] = run_config3(args.root, args, workdir, kinds)
+            checkpoint_report()
         if 4 in wanted:
             point_frameworks_at(args.root)
             report["configs"]["4"] = run_config4(args.root, args, workdir)
+            checkpoint_report()
         if 5 in wanted:
             point_frameworks_at(args.root)
             report["configs"]["5"] = run_config5(args.root, args, workdir, kinds)
+            checkpoint_report()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 

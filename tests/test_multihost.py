@@ -58,6 +58,92 @@ class TestProcessShard:
         assert not set(seen[0]) & set(seen[1])
         assert sorted(seen[0] + seen[1]) == list(range(12))
 
+    def test_loader_lockstep_varsize_buckets(self, tmp_path):
+        """The per-process views of a variable-size bucketed epoch stay in
+        LOCKSTEP: identical batch counts, identical per-step bucket shapes,
+        identical global_valid — the invariants a single global GSPMD step
+        program needs (shape/count divergence across hosts deadlocks in the
+        step's collectives)."""
+        from test_varsize import make_multisize_tid
+        from vtamiq_tpu.data.pipeline import PatchDatasetLoader
+
+        ds = make_multisize_tid(
+            str(tmp_path), sizes=[(64, 96), (80, 64), (64, 96), (96, 96),
+                                  (64, 96)], num_dist=3)
+        ds.add_split()
+        views = []
+        for p in range(2):
+            loader = PatchDatasetLoader(ds, "FullDataset", batch_size=2,
+                                        patch_count=16, prefetch=0, seed=11,
+                                        shuffle=True, max_size_buckets=2,
+                                        process_index=p, process_count=2)
+            batches = list(loader)
+            assert len(batches) == len(loader)  # __len__ exact in bucket mode
+            views.append(batches)
+
+        assert len(views[0]) == len(views[1])
+        seen = [[], []]
+        for b0, b1 in zip(views[0], views[1]):
+            # same global batch -> same padded shape and same global valid
+            assert b0.imgs_raw.shape == b1.imgs_raw.shape
+            assert b0.global_valid == b1.global_valid
+            assert b0.valid + b1.valid == b0.global_valid
+            # global pads are a suffix: local valids are leading counts
+            for p, b in enumerate((b0, b1)):
+                seen[p].extend(b.indices[:b.valid].tolist())
+                # pad region true sizes within the bucket shape
+                if b.img_hw is not None:
+                    assert (b.img_hw[:, 0] <= b.imgs_raw.shape[2]).all()
+                    assert (b.img_hw[:, 1] <= b.imgs_raw.shape[3]).all()
+        assert not set(seen[0]) & set(seen[1])
+        assert sorted(seen[0] + seen[1]) == list(range(15))
+
+    def test_loader_len_exact_in_bucket_mode_single_process(self, tmp_path):
+        """__len__ counts per-bucket partial batches (the LR schedule is
+        sized from len(loader); an undercount would finish decay early)."""
+        from test_varsize import make_multisize_tid
+        from vtamiq_tpu.data.pipeline import PatchDatasetLoader
+
+        ds = make_multisize_tid(
+            str(tmp_path), sizes=[(64, 96), (64, 96), (80, 64)], num_dist=3)
+        ds.add_split()
+        loader = PatchDatasetLoader(ds, "FullDataset", batch_size=4,
+                                    patch_count=16, prefetch=0, seed=0,
+                                    max_size_buckets=2)
+        batches = list(loader)
+        # 6 items in one bucket + 3 in the other -> 2 + 1 = 3 padded batches
+        assert len(batches) == len(loader) == 3
+
+    def test_loader_flips_agree_across_processes(self, tmp_path):
+        """Every process draws the SAME flip sequence (schedule-phase rng),
+        so the item a process decodes is identical no matter which process
+        owns it."""
+        from test_varsize import make_multisize_tid
+        from vtamiq_tpu.data.pipeline import PatchDatasetLoader
+
+        ds = make_multisize_tid(str(tmp_path), sizes=[(64, 96)] * 4, num_dist=2)
+        ds.add_split()
+
+        def collect(p, count):
+            loader = PatchDatasetLoader(ds, "FullDataset", batch_size=4 // count,
+                                        patch_count=16, prefetch=0, seed=5,
+                                        shuffle=True, allow_img_flip=True,
+                                        process_index=p, process_count=count)
+            out = {}
+            for batch in loader:
+                for i in range(batch.valid):
+                    out[int(batch.indices[i])] = np.asarray(
+                        batch.imgs_raw[i])
+            return out
+
+        single = collect(0, 1)
+        merged = {}
+        for p in range(2):
+            merged.update(collect(p, 2))
+        assert sorted(merged) == sorted(single)
+        for idx in single:
+            np.testing.assert_array_equal(single[idx], merged[idx])
+
 
 @pytest.mark.slow
 class TestTwoProcessTraining:

@@ -41,8 +41,11 @@ ImageBatch = namedtuple(
         "valid",     # int: first `valid` items are real; rest are pad repeats
         "img_hw",    # (B, 2) int32 TRUE image sizes when batches are padded
                      # to canonical buckets (max_size_buckets > 0); else None
+        "global_valid",  # multi-process mode: valid count of the GLOBAL batch
+                         # this local shard belongs to (pass it to the jitted
+                         # step's loss mask); None single-process
     ],
-    defaults=(None,),
+    defaults=(None, None),
 )
 
 
@@ -78,9 +81,15 @@ class PatchDatasetLoader:
         size — right for fixed-size datasets (TID/KADID/CSIQ/PIPAL).
 
         ``process_index`` / ``process_count``: multi-host data parallelism
-        (parallel/distributed.py) — every process derives the SAME epoch
-        permutation (seed, epoch) then iterates a disjoint strided slice, so
-        each host decodes only its share of the global batch."""
+        (parallel/distributed.py) — every process derives the SAME global
+        batch schedule (permutation, flips, bucket grouping) from (seed,
+        epoch), then decodes only its contiguous slice of each global batch
+        of ``batch_size * process_count`` items. This keeps all processes in
+        lockstep BY CONSTRUCTION: identical batch counts, identical per-step
+        bucket shapes, identical global valid counts — a strided per-process
+        slice cannot guarantee any of these once bucketing or partial batches
+        are involved (different hosts would assemble different batch
+        sequences and deadlock in the global step's collectives)."""
         if not dataset.has_split(split_name):
             raise ValueError(f"Dataset {dataset.name} has no split [{split_name}].")
         self.dataset = dataset
@@ -101,29 +110,45 @@ class PatchDatasetLoader:
         self.process_index = int(process_index)
         self.process_count = max(1, int(process_count))
         self._epoch = 0
+        self._size_cache: Dict[int, Tuple[int, int]] = {}
 
     # -- iteration ----------------------------------------------------------
 
     def _epoch_indices(self, rng: np.random.Generator) -> np.ndarray:
+        """GLOBAL epoch index list — identical on every process."""
         base = np.asarray(self.dataset.split_indices(self.split_name))
         reps = [rng.permutation(base) if self.shuffle else base
                 for _ in range(self.num_repeats_data)]
-        indices = np.concatenate(reps)
-        if self.process_count > 1:  # multi-host: disjoint per-process slice
-            indices = indices[self.process_index::self.process_count]
-        return indices
+        return np.concatenate(reps)
 
-    def _epoch_len(self) -> int:
-        n = self.dataset.split_len(self.split_name) * self.num_repeats_data
-        if self.process_count > 1:
-            n = (n - self.process_index + self.process_count - 1) // self.process_count
-        return n
+    def _assembly_batch_size(self) -> int:
+        """Batches assemble globally: batch_size items per process."""
+        return self.batch_size * self.process_count
 
     def __len__(self):
-        n = self._epoch_len()
+        """Batches per epoch (== per process in multi-process mode: every
+        process yields the same count by construction).
+
+        Exact for fixed-size datasets and for canonical-bucket mode (batch
+        counts per bucket don't depend on the epoch permutation). Variable
+        -size datasets WITHOUT bucketing batch by exact (H, W), which this
+        undercounts — enable ``max_size_buckets`` for those (the feature
+        exists precisely to bound the shape set)."""
+        reps = self.num_repeats_data
+        bs = self._assembly_batch_size()
+        if self.max_size_buckets > 0:
+            counts: Dict[Tuple[int, int], int] = {}
+            canonical = self.size_buckets()
+            for i in self.dataset.split_indices(self.split_name):
+                size = assign_bucket(self._item_size_cached(int(i)), canonical)
+                counts[size] = counts.get(size, 0) + 1
+            if self.pad_partial_batches:
+                return sum((c * reps + bs - 1) // bs for c in counts.values())
+            return sum((c * reps) // bs for c in counts.values())
+        n = self.dataset.split_len(self.split_name) * reps
         if self.pad_partial_batches:
-            return (n + self.batch_size - 1) // self.batch_size
-        return n // self.batch_size
+            return (n + bs - 1) // bs
+        return n // bs
 
     # -- canonical size buckets (variable-size datasets) ---------------------
 
@@ -144,13 +169,19 @@ class PatchDatasetLoader:
         except Exception:
             return self.dataset.get_img(path, is_ref_img=True).shape[:2]
 
+    def _item_size_cached(self, index: int) -> Tuple[int, int]:
+        size = self._size_cache.get(index)
+        if size is None:
+            size = self._size_cache[index] = self._item_size(index)
+        return size
+
     def size_buckets(self) -> Optional[List[Tuple[int, int]]]:
         """The canonical bucket shapes this loader pads to (None when exact
         bucketing is active). Computed once from the split's image sizes."""
         if self.max_size_buckets <= 0:
             return None
         if self._size_buckets is None:
-            sizes = [self._item_size(int(i))
+            sizes = [self._item_size_cached(int(i))
                      for i in self.dataset.split_indices(self.split_name)]
             self._size_buckets = compute_canonical_buckets(
                 sizes, self.max_size_buckets)
@@ -241,9 +272,103 @@ class PatchDatasetLoader:
             if bucket and self.pad_partial_batches:
                 yield self._decode_bucket_native(bucket, size)
 
+    # -- multi-process lockstep schedule -------------------------------------
+
+    def _epoch_schedule(self, rng) -> List[tuple]:
+        """Global batch schedule — identical on every process (identical rng
+        consumption): list of (bucket_hw, items, global_valid) where each
+        ``items`` is (index, q, (h_flip, v_flip), true_hw) of exactly
+        ``batch_size * process_count`` entries (final partial global batches
+        pad by repeating their last item). Only file headers are read here;
+        decode happens per-process on each process's slice."""
+        canonical = self.size_buckets()
+        g = self._assembly_batch_size()
+        schedule: List[tuple] = []
+        buckets: Dict[Tuple[int, int], list] = {}
+        for index in self._epoch_indices(rng):
+            index = int(index)
+            h_flip = v_flip = False
+            if self.allow_img_flip:
+                h_flip = bool(rng.random() < 0.5)
+                v_flip = bool(rng.random() < 0.5)
+            true_hw = self._item_size_cached(index)
+            size = (assign_bucket(true_hw, canonical)
+                    if canonical is not None else true_hw)
+            bucket = buckets.setdefault(size, [])
+            bucket.append((index, float(self.dataset.qs[index]),
+                           (h_flip, v_flip), true_hw))
+            if len(bucket) == g:
+                schedule.append((size, bucket, g))
+                buckets[size] = []
+        for size, bucket in buckets.items():
+            if bucket and self.pad_partial_batches:
+                valid = len(bucket)
+                schedule.append((size, bucket + [bucket[-1]] * (g - valid),
+                                 valid))
+        return schedule
+
+    def _decode_items(self, items: List[tuple], bucket_hw: Tuple[int, int],
+                      valid: int, global_valid: int) -> ImageBatch:
+        """Decode scheduled items (this process's slice) into an ImageBatch."""
+        bh, bw = bucket_hw
+        pad = self.max_size_buckets > 0
+        if self._use_native_batch_decode():
+            from . import native_io
+            k = len(self.dataset.sample_paths(items[0][0]))
+            paths, hflips, vflips, sizes = [], [], [], []
+            for (index, _q, (hf, vf), true_hw) in items:
+                for path in self.dataset.sample_paths(index):
+                    paths.append(path)
+                    hflips.append(hf)
+                    vflips.append(vf)
+                    sizes.append(true_hw)
+            imgs = native_io.decode_batch(paths, sizes,
+                                          h_flips=hflips, v_flips=vflips)
+            if pad:
+                imgs = [pad_to_bucket(im, (bh, bw)) for im in imgs]
+            imgs_raw = np.stack(imgs).reshape(len(items), k, bh, bw, 3)
+        else:
+            per_item = []
+            for (index, _q, (hf, vf), _true_hw) in items:
+                _, raws, _ = self.dataset.get_sample(
+                    index, rng=None, allow_img_flip=False, compute_norm=False)
+                sample = []
+                for im in raws:
+                    if hf:
+                        im = im[:, ::-1]
+                    if vf:
+                        im = im[::-1]
+                    im = np.ascontiguousarray(im)
+                    if pad and im.shape[:2] != (bh, bw):
+                        im = pad_to_bucket(im, (bh, bw))
+                    sample.append(im)
+                per_item.append(np.stack(sample))
+            imgs_raw = np.stack(per_item).astype(np.float32)
+        qs = np.asarray([it[1] for it in items], np.float32)
+        indices = np.asarray([it[0] for it in items], int)
+        img_hw = (np.asarray([it[3] for it in items], np.int32)
+                  if pad else None)
+        return ImageBatch(qs, imgs_raw, indices, valid, img_hw, global_valid)
+
+    def _produce_scheduled(self, rng) -> Iterator[ImageBatch]:
+        """Multi-process epoch: every process walks the SAME schedule and
+        decodes only its contiguous slice of each global batch, so per-step
+        batch shapes and counts agree across hosts by construction. Local
+        ``valid`` is the leading-valid count of this slice (global pads are a
+        suffix of the global batch); ``global_valid`` feeds the loss mask."""
+        b = self.batch_size
+        p = self.process_index
+        for bucket_hw, items, gvalid in self._epoch_schedule(rng):
+            local = items[p * b:(p + 1) * b]
+            lvalid = int(np.clip(gvalid - p * b, 0, b))
+            yield self._decode_items(local, bucket_hw, lvalid, gvalid)
+
     def _produce(self) -> Iterator[ImageBatch]:
         rng = np.random.default_rng((self.seed, self._epoch))
         self._epoch += 1
+        if self.process_count > 1:
+            yield from self._produce_scheduled(rng)
+            return
         if self._use_native_batch_decode():
             # Probe native decodability on the FIRST batch only: once a batch
             # has been yielded, a later IOError must propagate (restarting the

@@ -59,7 +59,8 @@ def gather_patches(img: jnp.ndarray, topleft: jnp.ndarray, patch_dim: int,
     tj = jnp.clip(jnp.floor(topleft[1]).astype(jnp.int32), 0, w - patch_dim)
     mean, std, out_dtype = tile_norm if tile_norm is not None else (None, None, None)
 
-    if jax.default_backend() != "cpu" and vmem_gather_supported(img.shape, img.dtype):
+    if jax.default_backend() != "cpu" and vmem_gather_supported(
+            img.shape, img.dtype, patch_dim):
         return pallas_gather_patches(img, ti, tj, patch_dim,
                                      norm_mean=mean, norm_std=std,
                                      out_dtype=out_dtype)

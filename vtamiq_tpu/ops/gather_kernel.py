@@ -131,9 +131,21 @@ def pallas_gather_patches(img: jnp.ndarray, ti: jnp.ndarray, tj: jnp.ndarray,
     return out.reshape(n, patch_dim, patch_dim, c)
 
 
-def vmem_gather_supported(img_shape, dtype) -> bool:
-    """True when the image fits the kernel's VMEM budget and the row count
-    supports 8-aligned band loads (H a multiple of 8, at least one band)."""
+def vmem_gather_supported(img_shape, dtype, patch_dim: int = 16) -> bool:
+    """True when the image fits the kernel's VMEM budget and the geometry
+    supports 8-aligned band loads.
+
+    Guards every kernel precondition: H a multiple of 8 (so the band base
+    ``min((i//8)*8, h - band_rows)`` is 8-aligned only if ``band_rows =
+    patch_dim + 8`` is too — hence ``patch_dim % 8 == 0``), at least one full
+    band (``h >= band_rows``; otherwise the clamped base goes negative and
+    the load reads out of bounds), and the VMEM footprint of the IMAGE AS THE
+    KERNEL HOLDS IT — sub-32-bit inputs are upcast to fp32 before the call
+    (pallas_gather_patches), so the budget uses >= 4-byte items."""
     h, w, c = img_shape
-    return (h % 8 == 0 and h >= 32
-            and h * w * c * jnp.dtype(dtype).itemsize <= VMEM_IMAGE_BYTE_LIMIT)
+    if patch_dim <= 0 or patch_dim % 8 != 0:
+        return False
+    band_rows = patch_dim + 8
+    itemsize = max(4, jnp.dtype(dtype).itemsize)
+    return (h % 8 == 0 and h >= band_rows
+            and h * w * c * itemsize <= VMEM_IMAGE_BYTE_LIMIT)
