@@ -209,10 +209,17 @@ def run_config1(params, cfg, args):
     q_torch = float(q_t.reshape(()))
 
     diff = abs(q_ours - q_torch)
+    # gate is |dq| <= max(q_gate, q_gate * |q_torch|): the optimized IQA loss
+    # is rank+pears only (scale-free — reference train.py:387-395), so
+    # trained q magnitudes drift arbitrarily (|q| ~ 30 after a few epochs)
+    # and fp32 associativity scales with them; the relative form keeps the
+    # gate meaningful at any magnitude.
+    gate = max(args.q_gate, args.q_gate * abs(q_torch))
     return {
         "name": "single-pair forward parity (identical weights + patches)",
         "q_ours": q_ours, "q_torch": q_torch, "abs_diff": diff,
-        "gate": args.q_gate, "pass": bool(diff <= args.q_gate),
+        "rel_diff": diff / max(1e-12, abs(q_torch)),
+        "gate": gate, "pass": bool(diff <= gate),
     }
 
 

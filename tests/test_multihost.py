@@ -173,3 +173,42 @@ class TestTwoProcessTraining:
         assert len(l0) == len(l1) == 4  # 16 items / 2 procs / 2 local-batch
         np.testing.assert_allclose(l0, l1, rtol=1e-6)
         assert np.isfinite(l0).all()
+
+    def test_two_process_engine_train(self, tmp_path):
+        """FULL engine.train() across 2 processes: lockstep loaders, global
+        batch assembly, all-gathered correlations (must agree bit-for-bit
+        across hosts), coordinator-only checkpoints."""
+        from test_datasets import make_tid
+        make_tid(str(tmp_path), num_ref=5, num_dist=4)
+
+        worker = os.path.join(REPO, "tests", "multihost_engine_worker.py")
+        port = _free_port()
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = (REPO + os.pathsep +
+                             os.path.join(REPO, "tests") + os.pathsep +
+                             env.get("PYTHONPATH", ""))
+        outs = [str(tmp_path / f"eng{i}.json") for i in range(2)]
+        procs = [subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port), str(tmp_path),
+             outs[i]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            for i in range(2)]
+        logs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            logs.append(out.decode(errors="replace"))
+        assert all(p.returncode == 0 for p in procs), "\n---\n".join(logs)
+
+        results = [json.load(open(o)) for o in outs]
+        # epoch correlations identical across hosts (predictions all-gathered)
+        assert results[0]["SROCC"] == results[1]["SROCC"]
+        assert results[0]["PLCC"] == results[1]["PLCC"]
+        assert np.isfinite(results[0]["SROCC"])
+        # coordinator-only checkpoints
+        ckpts0 = [f for f in os.listdir(results[0]["output_dir_final"])
+                  if f.endswith(".npz")]
+        ckpts1 = [f for f in os.listdir(results[1]["output_dir_final"])
+                  if f.endswith(".npz")]
+        assert ckpts0 and not ckpts1

@@ -148,4 +148,7 @@ def vmem_gather_supported(img_shape, dtype, patch_dim: int = 16) -> bool:
     band_rows = patch_dim + 8
     itemsize = max(4, jnp.dtype(dtype).itemsize)
     return (h % 8 == 0 and h >= band_rows
+            # Mosaic's tpu.dynamic_rotate needs a lane-aligned minor dim
+            # (observed: "unsupported unaligned shape" at w*c=960 on v5e)
+            and (w * c) % 128 == 0
             and h * w * c * itemsize <= VMEM_IMAGE_BYTE_LIMIT)

@@ -482,6 +482,23 @@ def make_dataset_with_config_splits(dataset_name):
     return dataset
 
 
+def _jax_process_index() -> int:
+    """jax.process_index() without importing jax at config-module load."""
+    try:
+        import jax
+        return jax.process_index()
+    except Exception:
+        return 0
+
+
+def _jax_process_count() -> int:
+    try:
+        import jax
+        return jax.process_count()
+    except Exception:
+        return 1
+
+
 class DatasetFactory:
     """Caches one dataset instance per name; serves per-split loaders
     (reference DatasetFactory, train_config.py:570-613)."""
@@ -513,6 +530,11 @@ class DatasetFactory:
             seed=max(0, global_config["seed"]),
             prefetch=max(1, min(4, prefetch)),
             max_size_buckets=global_config.get("max_size_buckets", 0),
+            # multi-host: every process builds the same global batch schedule
+            # and decodes only its slice (call jax.distributed / the
+            # parallel.distributed.initialize helper BEFORE train())
+            process_index=_jax_process_index(),
+            process_count=_jax_process_count(),
         )
 
 

@@ -97,6 +97,8 @@ def get_model_params(cfg: VTAMIQConfig, checkpoint_file: Optional[str] = None,
 
 def _save(output_dir: str, filename: str, params: Dict, epoch: int, srocc: float,
           opt_state=None):
+    if not _is_coordinator():  # multi-host: process 0 owns checkpoints
+        return
     models = {MODEL_STATE_DICT: {k: v for k, v in params.items() if k != "pref_module"}}
     if "pref_module" in params:
         models[PREF_MODULE_STATE_DICT] = params["pref_module"]
@@ -124,6 +126,65 @@ def _batch_arrays(batch, need_hw: bool = False):
     return raw, qs, hw
 
 
+def _is_coordinator() -> bool:
+    """Checkpoints/logs are written by process 0 only (multi-host)."""
+    return jax.process_index() == 0
+
+
+def _batch_device_arrays(batch, mesh):
+    """(raw, qs, hw, valid_for_step) for one step.
+
+    Single-host: local arrays, sharded over the mesh when one is given.
+    Multi-host (jax.process_count() > 1, lockstep loader schedule): each
+    process contributes its local slice of the GLOBAL batch via
+    jax.make_array_from_process_local_data, and the step's validity mask
+    uses the GLOBAL valid count (pads are a suffix of the global batch)."""
+    nproc = jax.process_count()
+    if mesh is not None and nproc > 1 and batch.global_valid is not None:
+        from ..parallel import distributed as D
+        hw = getattr(batch, "img_hw", None)
+        if hw is None:
+            hw = np.tile(np.asarray(batch.imgs_raw.shape[2:4], np.int32)[None],
+                         (batch.imgs_raw.shape[0], 1))
+        g = batch.qs.shape[0] * nproc
+        raw, qs, hw = D.global_batch(
+            mesh, (np.asarray(batch.imgs_raw, np.float32),
+                   np.asarray(batch.qs, np.float32),
+                   np.asarray(hw, np.int32)), g)
+        return raw, qs, hw, int(batch.global_valid)
+    raw, qs, hw = _batch_arrays(batch, need_hw=mesh is not None)
+    if mesh is not None:
+        raw, qs, hw = shard_batch((raw, qs, hw), mesh)
+    return raw, qs, hw, int(batch.valid)
+
+
+def _collect_predictions(batch, qs_dev, q_p):
+    """This batch's (labels, predictions) restricted to REAL items.
+
+    Multi-host: all-gather the (tiny) global label/prediction vectors so
+    EVERY process reconstructs the identical global list — epoch
+    correlations then agree bit-for-bit across hosts, matching single-host
+    semantics."""
+    nproc = jax.process_count()
+    if nproc > 1 and batch.global_valid is not None:
+        from jax.experimental import multihost_utils
+        b = batch.qs.shape[0]
+        gqs = np.asarray(
+            multihost_utils.process_allgather(qs_dev, tiled=True)).reshape(-1)
+        gqp = np.asarray(
+            multihost_utils.process_allgather(q_p, tiled=True)).reshape(-1)
+        ys, yps = [], []
+        for p in range(nproc):
+            vp = int(np.clip(batch.global_valid - p * b, 0, b))
+            if vp:
+                ys.append(gqs[p * b:p * b + vp])
+                yps.append(gqp[p * b:p * b + vp])
+        return (np.concatenate(ys).astype(float),
+                np.concatenate(yps).astype(float))
+    v = batch.valid
+    return (np.asarray(batch.qs[:v], float), np.asarray(q_p, float)[:v])
+
+
 def do_training(train_step, params, opt_state, mask, loader, key,
                 loss_weights, *, writer, logger, is_pairwise, is_debug,
                 output_dir, checkpoint_every_n_batches, epoch, step,
@@ -135,17 +196,17 @@ def do_training(train_step, params, opt_state, mask, loader, key,
 
     for batch_i, batch in enumerate(loader):
         key, sub = jax.random.split(key)
-        raw, qs, hw = _batch_arrays(batch, need_hw=mesh is not None)
-        if mesh is not None:
-            raw, qs, hw = shard_batch((raw, qs, hw), mesh)
-        if batch.valid < 2:
+        raw, qs, hw, valid = _batch_device_arrays(batch, mesh)
+        if valid < 2:
             # qs.shape[0] is always batch_size after host padding; the REAL
-            # item count is batch.valid (reference skip guard, train.py:546)
+            # item count is batch.valid (reference skip guard, train.py:546).
+            # Multi-host: valid is the GLOBAL count, so all processes skip
+            # the same batches (lockstep).
             log_warn("Batch has < 2 valid items; skipping current batch.")
             continue
 
         step_args = (params, opt_state, mask, raw, qs,
-                     jnp.asarray(batch.valid), sub, lw)
+                     jnp.asarray(valid), sub, lw)
         if hw is not None:
             step_args += (hw,)
         # transient-fault retry (reference's skip-batch resilience analog,
@@ -155,9 +216,10 @@ def do_training(train_step, params, opt_state, mask, loader, key,
             max_retries=C.global_config.get("device_fault_retries", 2),
             log=log_warn)
 
-        v = batch.valid
-        q_vals.append(np.asarray(batch.qs[:v], float))
-        qp_vals.append(np.asarray(q_p, float)[:v])
+        y_b, yp_b = _collect_predictions(batch, qs, q_p)
+        q_vals.append(y_b)
+        qp_vals.append(yp_b)
+        v = len(y_b)
 
         if not is_debug and writer is not None:
             if is_pairwise:
@@ -198,10 +260,8 @@ def do_validation(eval_step, params, loader, key, loss_weights, *,
     for repeat in range(num_repeats):
         for i, batch in enumerate(loader):
             key, sub = jax.random.split(key)
-            raw, qs, hw = _batch_arrays(batch, need_hw=mesh is not None)
-            if mesh is not None:
-                raw, qs, hw = shard_batch((raw, qs, hw), mesh)
-            step_args = (params, raw, qs, jnp.asarray(batch.valid), sub, lw)
+            raw, qs, hw, valid = _batch_device_arrays(batch, mesh)
+            step_args = (params, raw, qs, jnp.asarray(valid), sub, lw)
             if hw is not None:
                 step_args += (hw,)
             metrics, q_p = retry_transient(
@@ -209,9 +269,9 @@ def do_validation(eval_step, params, loader, key, loss_weights, *,
                 max_retries=C.global_config.get("device_fault_retries", 2),
                 log=log_warn)
 
-            v = batch.valid
-            ys.append(np.asarray(batch.qs[:v], float))
-            yps.append(np.asarray(q_p, float)[:v])
+            y_b, yp_b = _collect_predictions(batch, qs, q_p)
+            ys.append(y_b)
+            yps.append(yp_b)
 
             if writer is not None and not is_debug:
                 prefix = f"{tag}-" if tag else ""
@@ -338,6 +398,12 @@ def train():
     if g["mesh_data"] * g["mesh_model"] > 1:
         mesh = make_mesh(data=g["mesh_data"], model=g["mesh_model"])
         log(f"Using device mesh: data={g['mesh_data']} model={g['mesh_model']}")
+    elif jax.process_count() > 1:
+        # multi-host (jax.distributed initialized before train()): the global
+        # step MUST span every process's devices; default to pure DP
+        mesh = make_mesh(data=jax.device_count(), model=1)
+        log(f"Multi-host run ({jax.process_count()} processes): auto mesh "
+            f"data={jax.device_count()} model=1")
 
     compute_dtype = jnp.bfloat16 if g["compute_dtype"] == "bfloat16" else jnp.float32
     sampler = PatchSampler(**C.dataset_config_base["patch_sampler_config"])
