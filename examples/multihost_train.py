@@ -54,6 +54,10 @@ def main():
         seed=args.seed,
         vit_weights_path=args.vit_npz,
     )
+    # honor the CLI batch size: without this flag validate_configs overwrites
+    # batch/patch counts from dataloader_config_vtamiq (reference semantics,
+    # train_config.py:782-801)
+    C.dataloader_config_base[C.DATALOADER_PARAMS][C.USE_DEFAULT_PARAMS] = True
     for split in (C.SPLIT_NAME_TRAIN, C.SPLIT_NAME_VAL, C.SPLIT_NAME_TEST):
         C.dataloader_config_base[split][C.BATCH_SIZE] = args.batch_size
 

@@ -44,7 +44,9 @@ def main():
 
     g = C.global_config
     g["dataset"] = C.DATASET_TID2013
-    g["do_train"], g["do_val"], g["do_test"] = True, True, False
+    # do_test exercises the coordinator-load + broadcast checkpoint path
+    g["do_train"], g["do_val"], g["do_test"] = True, True, True
+    g["num_repeats_test"] = 1
     g["output_dir"] = os.path.join(root, f"output_p{pid}")
     g["num_epochs"] = 1
     g["compute_dtype"] = "float32"

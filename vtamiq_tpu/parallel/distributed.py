@@ -8,11 +8,13 @@ is new TPU-native capability:
   after which ``jax.devices()`` spans every host's chips and a single jitted
   GSPMD program runs SPMD across them (gradient psums ride ICI within a
   slice, DCN across slices — XLA picks per the mesh layout).
-- The input pipeline shards BY PROCESS: each host's loader walks a disjoint
-  slice of the (identically-permuted) epoch index list
-  (:meth:`~vtamiq_tpu.data.pipeline.PatchDatasetLoader` ``process_index`` /
-  ``process_count``), decodes only its share, and contributes its local
-  batch shard.
+- The input pipeline shards BY PROCESS in LOCKSTEP: every host's loader
+  derives the SAME global batch schedule (permutation, flips, bucket
+  grouping) from (seed, epoch) and decodes only its contiguous slice of
+  each global batch (:class:`~vtamiq_tpu.data.pipeline.PatchDatasetLoader`
+  ``process_index`` / ``process_count``). A plain strided slice is NOT
+  equivalent — bucket composition and partial batches would diverge across
+  hosts and deadlock the global step's collectives.
 - :func:`global_batch` assembles the logical global batch from each
   process's local arrays via ``jax.make_array_from_process_local_data`` —
   no host ever materializes another host's images.
@@ -66,9 +68,14 @@ def initialize(coordinator_address: Optional[str] = None,
 
 def process_shard(indices: np.ndarray, process_index: int,
                   process_count: int) -> np.ndarray:
-    """Disjoint per-process slice of an epoch index list (strided so every
-    process sees the same size +-1 and the global order interleaves).
-    All processes must derive ``indices`` identically (same seed/epoch)."""
+    """Disjoint strided per-process slice of an index list.
+
+    Building block for HAND-ROLLED training loops over fixed-size data with
+    ``len(indices)`` divisible by (batch x processes) — see
+    tests/multihost_worker.py. The production loader does NOT use this: it
+    builds a lockstep global batch schedule instead (pipeline.py), because
+    a strided slice cannot keep per-process batch counts/shapes in agreement
+    once bucketing or partial batches are involved."""
     if process_count <= 1:
         return indices
     return indices[process_index::process_count]

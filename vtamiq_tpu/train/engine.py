@@ -169,10 +169,9 @@ def _collect_predictions(batch, qs_dev, q_p):
     if nproc > 1 and batch.global_valid is not None:
         from jax.experimental import multihost_utils
         b = batch.qs.shape[0]
-        gqs = np.asarray(
-            multihost_utils.process_allgather(qs_dev, tiled=True)).reshape(-1)
-        gqp = np.asarray(
-            multihost_utils.process_allgather(q_p, tiled=True)).reshape(-1)
+        gqs, gqp = multihost_utils.process_allgather((qs_dev, q_p), tiled=True)
+        gqs = np.asarray(gqs).reshape(-1)
+        gqp = np.asarray(gqp).reshape(-1)
         ys, yps = [], []
         for p in range(nproc):
             vp = int(np.clip(batch.global_valid - p * b, 0, b))
@@ -330,6 +329,13 @@ def train():
     seed = g["seed"]
     if seed == -1:
         seed = int(time.time()) % (2 ** 31)
+        if jax.process_count() > 1:
+            # lockstep invariant: every process must use ONE seed (random
+            # splits, epoch schedules, and the replicated step RNG all
+            # derive from it) — broadcast process 0's clock-resolved value
+            from jax.experimental import multihost_utils
+            seed = int(multihost_utils.broadcast_one_to_all(
+                np.int64(seed)))
     np.random.seed(seed)
     key = jax.random.PRNGKey(seed)
 
@@ -597,8 +603,23 @@ def train():
                 output_dir,
                 "latest" if (g["test_use_latest"] and g["train_save_latest"]) else "best",
                 CHECKPOINT_EXT)
-            params = get_model_params(cfg, saved, force_load_pretrained=True,
-                                      seed=seed, use_pref_module=use_pref_module)
+            if jax.process_count() > 1:
+                # the checkpoint exists on the coordinator only (_save gates
+                # on process 0, and output_dir embeds per-process state):
+                # process 0 loads it and broadcasts the pytree
+                from jax.experimental import multihost_utils
+                if _is_coordinator():
+                    loaded = get_model_params(
+                        cfg, saved, force_load_pretrained=True, seed=seed,
+                        use_pref_module=use_pref_module)
+                    host_tree = jax.tree_util.tree_map(np.asarray, loaded)
+                else:  # structure/shape template; values come from proc 0
+                    host_tree = jax.tree_util.tree_map(
+                        lambda x: np.zeros(x.shape, x.dtype), params)
+                params = multihost_utils.broadcast_one_to_all(host_tree)
+            else:
+                params = get_model_params(cfg, saved, force_load_pretrained=True,
+                                          seed=seed, use_pref_module=use_pref_module)
             if mesh is not None:
                 params = shard_params(params, mesh)
 
