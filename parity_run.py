@@ -427,6 +427,10 @@ def run_config5(root, args, workdir, kinds):
     g = C.global_config
     g["dataset"] = C.DATASET_PIPAL
     g["do_train"], g["do_val"], g["do_test"] = True, False, False
+    # train-only would trigger the reference's full-dataset override
+    # (train.py:769-773 parity) and iterate ALL refs, defeating the synthetic
+    # subset below — disable it explicitly
+    g["allow_use_full_dataset"] = False
     g["num_epochs"] = 1
     g["seed"] = args.seed
     g["output_dir"] = workdir
@@ -459,7 +463,11 @@ def run_config5(root, args, workdir, kinds):
         if ds_name == "LIVE":
             g["max_size_buckets"] = 4
         if ds_name == "CSIQ" and kinds.get("csiq") == "synthetic" and not args.full:
+            # quick synthetic CSIQ writes images for the first 10 refs only;
+            # must also disable the reference's full-dataset-for-test
+            # override (train.py:769-773) or the eval iterates all 30
             C.split_config_csiq[C.SPLIT_NAME_TEST] = list(range(0, 10))
+            g["allow_use_full_dataset_test"] = False
         cors = engine2.train()
         cross[ds_name] = {k: float(cors[k]) for k in ("SROCC", "KROCC", "PLCC", "RMSE")} \
             if cors else None
