@@ -1,0 +1,222 @@
+"""Serving layer: micro-batching coalescer + HTTP endpoint (new capability —
+the reference has no serving story)."""
+
+import io
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from vtamiq_tpu.serving import MicroBatcher, ScoringServer, _batch_ladder
+
+
+class FakeScorer:
+    """Records batch compositions; returns the per-pair mean difference."""
+
+    def __init__(self, delay=0.0):
+        self.batches = []
+        self.delay = delay
+
+    def score_batch(self, refs, dists):
+        self.batches.append(len(refs))
+        if self.delay:
+            time.sleep(self.delay)
+        return np.asarray([float(np.mean(r - d)) for r, d in zip(refs, dists)])
+
+
+def make_pair(rng, value, size=(8, 8)):
+    ref = np.full(size + (3,), 0.5, np.float32)
+    dist = ref - np.float32(value)
+    return ref, dist
+
+
+class TestBatchLadder:
+    def test_powers_of_two(self):
+        assert _batch_ladder(16) == [1, 2, 4, 8, 16]
+
+    def test_non_power_max(self):
+        assert _batch_ladder(6) == [1, 2, 4, 6]
+
+    def test_one(self):
+        assert _batch_ladder(1) == [1]
+
+
+class TestMicroBatcher:
+    def test_single_request(self):
+        fake = FakeScorer()
+        mb = MicroBatcher(fake, max_batch=4, max_wait_ms=1.0).start()
+        try:
+            ref, dist = make_pair(None, 0.125)
+            assert mb.score(ref, dist, timeout=10) == pytest.approx(0.125)
+            assert fake.batches == [1]
+        finally:
+            mb.stop()
+
+    def test_coalesces_concurrent_requests(self):
+        fake = FakeScorer(delay=0.05)
+        mb = MicroBatcher(fake, max_batch=8, max_wait_ms=50.0).start()
+        try:
+            vals = [i / 100.0 for i in range(6)]
+            futs = [mb.submit(*make_pair(None, v)) for v in vals]
+            got = [f.result(10) for f in futs]
+            assert got == pytest.approx(vals)
+            # 6 requests -> ladder pads to 8; one or two device batches, not 6
+            assert len(fake.batches) <= 2
+            assert mb.stats["served"] == 6
+        finally:
+            mb.stop()
+
+    def test_ladder_padding_counted(self):
+        fake = FakeScorer(delay=0.05)
+        mb = MicroBatcher(fake, max_batch=8, max_wait_ms=50.0).start()
+        try:
+            futs = [mb.submit(*make_pair(None, 0.01 * i)) for i in range(3)]
+            [f.result(10) for f in futs]
+            # 3 requests in one flush -> padded to ladder size 4
+            if len(fake.batches) == 1:
+                assert fake.batches[0] == 4
+                assert mb.stats["padded_slots"] == 1
+        finally:
+            mb.stop()
+
+    def test_mixed_sizes_grouped(self):
+        fake = FakeScorer(delay=0.05)
+        mb = MicroBatcher(fake, max_batch=8, max_wait_ms=50.0).start()
+        try:
+            f1 = mb.submit(*make_pair(None, 0.1, size=(8, 8)))
+            f2 = mb.submit(*make_pair(None, 0.2, size=(16, 8)))
+            assert f1.result(10) == pytest.approx(0.1)
+            assert f2.result(10) == pytest.approx(0.2)
+            assert mb.stats["served"] == 2
+        finally:
+            mb.stop()
+
+    def test_scorer_error_propagates(self):
+        class Boom:
+            def score_batch(self, refs, dists):
+                raise RuntimeError("device fell over")
+
+        mb = MicroBatcher(Boom(), max_batch=2, max_wait_ms=1.0).start()
+        try:
+            fut = mb.submit(*make_pair(None, 0.1))
+            with pytest.raises(RuntimeError, match="device fell over"):
+                fut.result(10)
+            assert mb.stats["errors"] == 1
+        finally:
+            mb.stop()
+
+    def test_shape_mismatch_rejected(self):
+        mb = MicroBatcher(FakeScorer(), max_batch=2)
+        ref, _ = make_pair(None, 0.1, size=(8, 8))
+        _, dist = make_pair(None, 0.1, size=(16, 8))
+        with pytest.raises(ValueError, match="!="):
+            mb.submit(ref, dist)
+
+
+def _npz_body(**arrays):
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+def _post(url, body):
+    req = urllib.request.Request(url, data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+class TestScoringServer:
+    @pytest.fixture
+    def server(self):
+        srv = ScoringServer(FakeScorer(), port=0, max_batch=4,
+                            max_wait_ms=2.0).start()
+        yield srv
+        srv.stop()
+
+    def test_score_endpoint(self, server):
+        host, port = server.address
+        ref, dist = make_pair(None, 0.25)
+        status, out = _post(f"http://{host}:{port}/score",
+                            _npz_body(ref=ref, dist=dist))
+        assert status == 200
+        assert out["q"] == pytest.approx(0.25)
+
+    def test_compare_endpoint(self, server):
+        host, port = server.address
+        ref, da = make_pair(None, 0.4)   # q_a = 0.4
+        _, db = make_pair(None, 0.1)     # q_b = 0.1
+        status, out = _post(f"http://{host}:{port}/compare",
+                            _npz_body(ref=ref, dist_a=da, dist_b=db))
+        assert status == 200
+        assert out["q_a"] == pytest.approx(0.4)
+        assert out["preference"] == pytest.approx(
+            1.0 / (1.0 + np.exp(-(0.4 - 0.1))))
+
+    def test_healthz(self, server):
+        host, port = server.address
+        with urllib.request.urlopen(
+                f"http://{host}:{port}/healthz", timeout=10) as resp:
+            out = json.loads(resp.read())
+        assert out["ok"] is True
+
+    def test_bad_body_is_400(self, server):
+        host, port = server.address
+        req = urllib.request.Request(f"http://{host}:{port}/score",
+                                     data=b"not an npz", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=10)
+        assert e.value.code == 400
+
+    def test_missing_array_is_400(self, server):
+        host, port = server.address
+        ref, _ = make_pair(None, 0.1)
+        req = urllib.request.Request(f"http://{host}:{port}/score",
+                                     data=_npz_body(ref=ref), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=10)
+        assert e.value.code == 400
+
+    def test_concurrent_clients_batched(self, server):
+        host, port = server.address
+        results = {}
+
+        def client(i):
+            ref, dist = make_pair(None, i / 50.0)
+            _, out = _post(f"http://{host}:{port}/score",
+                           _npz_body(ref=ref, dist=dist))
+            results[i] = out["q"]
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(6)]
+        [t.start() for t in threads]
+        [t.join(30) for t in threads]
+        for i in range(6):
+            assert results[i] == pytest.approx(i / 50.0)
+
+
+class TestEndToEndRealScorer:
+    def test_real_tiny_scorer_through_server(self):
+        """Full path with a REAL (tiny) VTAMIQ model on CPU."""
+        from vtamiq_tpu.inference import VTAMIQScorer
+        from vtamiq_tpu.models.configs import get_vit_config, VTAMIQConfig
+
+        cfg = VTAMIQConfig(vit=get_vit_config(
+            num_keep_layers=1, num_extra_tokens=2, hidden_size=32,
+            mlp_dim=64, num_heads=2), num_rgs=1, num_rcabs=1, ca_reduction=4)
+        scorer = VTAMIQScorer(cfg=cfg, patch_count=16)
+        srv = ScoringServer(scorer, port=0, max_batch=2,
+                            max_wait_ms=2.0).start()
+        try:
+            host, port = srv.address
+            rng = np.random.default_rng(0)
+            ref = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+            dist = np.clip(ref + rng.normal(0, 0.2, ref.shape), 0, 1).astype(np.float32)
+            status, out = _post(f"http://{host}:{port}/score",
+                                _npz_body(ref=ref, dist=dist))
+            assert status == 200
+            assert np.isfinite(out["q"])
+        finally:
+            srv.stop()

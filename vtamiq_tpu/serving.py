@@ -1,0 +1,279 @@
+"""Production serving: micro-batching scorer + HTTP endpoint.
+
+The reference has no serving story (it is a research trainer); this module
+is new TPU-native capability for the deployment path:
+
+- :class:`MicroBatcher` coalesces concurrent score requests into device
+  batches. TPU executables are shape-static, so batches are padded UP to a
+  small fixed ladder of sizes (1, 2, 4, ..., max_batch) per image (H, W) —
+  a bounded executable set, same philosophy as data/buckets.py — and
+  results are sliced back per request. Requests are answered in arrival
+  order via futures; a dispatcher thread flushes on ``max_batch`` or after
+  ``max_wait_ms`` of queue idleness, trading a bounded latency floor for
+  MXU-efficient batches.
+- :class:`ScoringServer` exposes it over HTTP (stdlib ``http.server``,
+  threading; no extra dependencies):
+    POST /score    body = .npz with arrays ``ref``, ``dist`` (HWC [0,1])
+                   -> {"q": <float>}
+    POST /compare  body = .npz with ``ref``, ``dist_a``, ``dist_b``
+                   -> {"preference": <float>}  (sigmoid(q_a - q_b))
+    GET  /healthz  -> {"ok": true, "served": N, ...}
+
+Example:
+    scorer = VTAMIQScorer.from_checkpoint("best.npz")
+    server = ScoringServer(scorer, port=8080, max_batch=16)
+    server.start()            # non-blocking; server.stop() to shut down
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .inference import VTAMIQScorer
+
+
+def _batch_ladder(max_batch: int) -> List[int]:
+    """1, 2, 4, ... up to max_batch (compile-once sizes)."""
+    ladder, b = [], 1
+    while b < max_batch:
+        ladder.append(b)
+        b *= 2
+    ladder.append(max_batch)
+    return ladder
+
+
+class MicroBatcher:
+    """Thread-safe request coalescer in front of a VTAMIQScorer.
+
+    ``submit`` returns a Future resolving to the scalar q for that pair.
+    The dispatcher groups queued requests by image (H, W) (shape-static
+    executables), pads each group up to the nearest ladder size by
+    repeating the last pair, scores ONE device batch, and resolves the
+    futures. Exceptions propagate to the affected requests' futures.
+    """
+
+    def __init__(self, scorer: VTAMIQScorer, max_batch: int = 16,
+                 max_wait_ms: float = 5.0, max_queue: int = 1024):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self.scorer = scorer
+        self.max_batch = int(max_batch)
+        self.max_wait_s = max(0.0, float(max_wait_ms) / 1e3)
+        self.ladder = _batch_ladder(self.max_batch)
+        self._queue: "queue.Queue" = queue.Queue(maxsize=max_queue)
+        self._lock = threading.Lock()  # one device batch in flight at a time
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.stats = {"served": 0, "batches": 0, "padded_slots": 0,
+                      "errors": 0}
+
+    # -- public ---------------------------------------------------------------
+
+    def start(self) -> "MicroBatcher":
+        if self._thread is None:
+            self._stop.clear()
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
+        return self
+
+    def stop(self, timeout: float = 5.0):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout)
+            self._thread = None
+
+    def submit(self, ref: np.ndarray, dist: np.ndarray) -> "Future[float]":
+        if ref.shape != dist.shape:
+            raise ValueError(f"ref {ref.shape} != dist {dist.shape}")
+        fut: "Future[float]" = Future()
+        self._queue.put((ref, dist, fut))
+        return fut
+
+    def score(self, ref: np.ndarray, dist: np.ndarray,
+              timeout: Optional[float] = None) -> float:
+        return self.submit(ref, dist).result(timeout)
+
+    def warmup(self, h: int, w: int,
+               batch_sizes: Optional[Sequence[int]] = None):
+        """Pre-compile the (h, w) pipelines at the ladder batch sizes so the
+        first real request doesn't pay the XLA compile (minutes on remote
+        -compile TPU setups). Call once per expected image shape."""
+        zero = np.zeros((h, w, 3), np.float32)
+        for b in (batch_sizes if batch_sizes is not None else self.ladder):
+            with self._lock:
+                self.scorer.score_batch([zero] * b, [zero] * b)
+
+    # -- dispatcher -----------------------------------------------------------
+
+    def _drain(self) -> List[tuple]:
+        """Block for one request, then opportunistically take more until
+        max_batch or the queue stays empty for max_wait_s."""
+        try:
+            first = self._queue.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        items = [first]
+        deadline = time.monotonic() + self.max_wait_s
+        while len(items) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                items.append(self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return items
+
+    def _run(self):
+        while not self._stop.is_set():
+            items = self._drain()
+            if not items:
+                continue
+            by_size = {}
+            for item in items:
+                by_size.setdefault(item[0].shape, []).append(item)
+            for group in by_size.values():
+                self._score_group(group)
+
+    def _score_group(self, group: List[tuple]):
+        refs = [g[0] for g in group]
+        dists = [g[1] for g in group]
+        target = next(b for b in self.ladder if b >= len(group))
+        pad = target - len(group)
+        if pad:  # ladder padding -> bounded executable set
+            refs = refs + [refs[-1]] * pad
+            dists = dists + [dists[-1]] * pad
+        try:
+            with self._lock:
+                qs = self.scorer.score_batch(refs, dists)
+            for (_r, _d, fut), q in zip(group, qs):
+                fut.set_result(float(q))
+            self.stats["served"] += len(group)
+            self.stats["batches"] += 1
+            self.stats["padded_slots"] += pad
+        except Exception as e:  # surface to every affected caller
+            self.stats["errors"] += 1
+            for (_r, _d, fut) in group:
+                if not fut.done():
+                    fut.set_exception(e)
+
+
+# --------------------------------------------------------------------------
+# HTTP front end
+# --------------------------------------------------------------------------
+
+def _load_npz(body: bytes, names: Sequence[str]) -> Tuple[np.ndarray, ...]:
+    data = np.load(io.BytesIO(body))
+    missing = [n for n in names if n not in data]
+    if missing:
+        raise KeyError(f"npz body missing arrays: {missing}")
+    out = []
+    for n in names:
+        arr = np.asarray(data[n], np.float32)
+        if arr.ndim != 3 or arr.shape[-1] != 3:
+            raise ValueError(f"array {n!r} must be (H, W, 3), got {arr.shape}")
+        out.append(arr)
+    return tuple(out)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "vtamiq-tpu"
+
+    # attached by ScoringServer
+    batcher: MicroBatcher = None
+    request_timeout_s: float = 60.0
+
+    def log_message(self, *args):  # quiet by default
+        pass
+
+    def _reply(self, code: int, payload: dict):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            self._reply(200, {"ok": True, **self.batcher.stats})
+        else:
+            self._reply(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self):
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            if self.path == "/score":
+                ref, dist = _load_npz(body, ("ref", "dist"))
+                q = self.batcher.score(ref, dist,
+                                       timeout=self.request_timeout_s)
+                self._reply(200, {"q": q})
+            elif self.path == "/compare":
+                ref, da, db = _load_npz(body, ("ref", "dist_a", "dist_b"))
+                fa = self.batcher.submit(ref, da)
+                fb = self.batcher.submit(ref, db)
+                qa = fa.result(self.request_timeout_s)
+                qb = fb.result(self.request_timeout_s)
+                pref = float(1.0 / (1.0 + np.exp(-(qa - qb))))
+                self._reply(200, {"preference": pref,
+                                  "q_a": qa, "q_b": qb})
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+        except TimeoutError as e:
+            # overload / first-compile latency: retryable, not a client error
+            self._reply(503, {"error": f"timed out after "
+                                       f"{self.request_timeout_s}s: {e}"})
+        except Exception as e:
+            self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+
+class ScoringServer:
+    """Threaded HTTP server wrapping a MicroBatcher (stdlib only)."""
+
+    def __init__(self, scorer: VTAMIQScorer, host: str = "127.0.0.1",
+                 port: int = 8080, max_batch: int = 16,
+                 max_wait_ms: float = 5.0, request_timeout_s: float = 60.0):
+        self.batcher = MicroBatcher(scorer, max_batch=max_batch,
+                                    max_wait_ms=max_wait_ms)
+        handler = type("BoundHandler", (_Handler,), {
+            "batcher": self.batcher,
+            "request_timeout_s": request_timeout_s,
+        })
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def address(self) -> Tuple[str, int]:
+        return self.httpd.server_address[:2]
+
+    def warmup(self, h: int, w: int,
+               batch_sizes: Optional[Sequence[int]] = None) -> "ScoringServer":
+        """Pre-compile pipelines for (h, w) before taking traffic."""
+        self.batcher.warmup(h, w, batch_sizes)
+        return self
+
+    def start(self) -> "ScoringServer":
+        self.batcher.start()
+        if self._thread is None:
+            self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                            daemon=True)
+            self._thread.start()
+        return self
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(5.0)
+            self._thread = None
+        self.batcher.stop()
