@@ -108,6 +108,14 @@ class TestMicroBatcher:
         finally:
             mb.stop()
 
+    def test_warmup_compiles_ladder(self):
+        fake = FakeScorer()
+        mb = MicroBatcher(fake, max_batch=8)
+        mb.warmup(8, 8)
+        assert fake.batches == [1, 2, 4, 8]  # one call per ladder size
+        mb.warmup(8, 8, batch_sizes=[2])
+        assert fake.batches[-1] == 2
+
     def test_shape_mismatch_rejected(self):
         mb = MicroBatcher(FakeScorer(), max_batch=2)
         ref, _ = make_pair(None, 0.1, size=(8, 8))
