@@ -32,8 +32,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 512
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 1024  # 5120-token sweep: +30% over (256, 512) — the
+# per-program (BQ, D)x(D, BK) matmuls have K=D=64, so bigger tiles amortize
+# the online-softmax bookkeeping (tools/profile_experiments10.py); larger
+# still OOMs scoped VMEM or loses it again
 
 # patch counts past this use flash attention (below it, XLA's fused full
 # attention is faster and the quadratic logits easily fit)
