@@ -123,6 +123,51 @@ class TestMicroBatcher:
         with pytest.raises(ValueError, match="!="):
             mb.submit(ref, dist)
 
+    def test_full_queue_rejects_fast(self):
+        from vtamiq_tpu.serving import QueueFullError
+        mb = MicroBatcher(FakeScorer(), max_batch=2, max_queue=2)  # not started
+        ref, dist = make_pair(None, 0.1)
+        mb.submit(ref, dist)
+        mb.submit(ref, dist)
+        with pytest.raises(QueueFullError):
+            mb.submit(ref, dist)
+        assert mb.stats["rejected"] == 1
+
+    def test_restrict_to_warmed_rejects_novel_shape(self):
+        from vtamiq_tpu.serving import UnknownShapeError
+        fake = FakeScorer()
+        mb = MicroBatcher(fake, max_batch=2, restrict_to_warmed=True)
+        ref, dist = make_pair(None, 0.1, size=(8, 8))
+        with pytest.raises(UnknownShapeError):
+            mb.submit(ref, dist)
+        mb.warmup(8, 8, batch_sizes=[1])
+        mb.start()
+        try:
+            assert mb.score(ref, dist, timeout=10) == pytest.approx(0.1)
+            with pytest.raises(UnknownShapeError):
+                mb.submit(*make_pair(None, 0.1, size=(16, 16)))
+        finally:
+            mb.stop()
+
+    def test_stop_resolves_pending_futures(self):
+        mb = MicroBatcher(FakeScorer(), max_batch=2)  # dispatcher NOT started
+        fut = mb.submit(*make_pair(None, 0.1))
+        mb.stop()
+        with pytest.raises(RuntimeError, match="stopped"):
+            fut.result(5)
+
+    def test_cancelled_future_does_not_poison_batch(self):
+        fake = FakeScorer(delay=0.2)
+        mb = MicroBatcher(fake, max_batch=4, max_wait_ms=100.0).start()
+        try:
+            f1 = mb.submit(*make_pair(None, 0.1))
+            f2 = mb.submit(*make_pair(None, 0.2))
+            f2.cancel()  # races the dispatcher; either cancelled or scored
+            assert f1.result(10) == pytest.approx(0.1)
+            assert mb.stats["errors"] == 0
+        finally:
+            mb.stop()
+
 
 def _npz_body(**arrays):
     buf = io.BytesIO()
@@ -200,7 +245,9 @@ class TestScoringServer:
         threads = [threading.Thread(target=client, args=(i,))
                    for i in range(6)]
         [t.start() for t in threads]
-        [t.join(30) for t in threads]
+        for t in threads:
+            t.join(60)
+            assert not t.is_alive(), "client thread did not finish"
         for i in range(6):
             assert results[i] == pytest.approx(i / 50.0)
 

@@ -5,12 +5,16 @@ is new TPU-native capability for the deployment path:
 
 - :class:`MicroBatcher` coalesces concurrent score requests into device
   batches. TPU executables are shape-static, so batches are padded UP to a
-  small fixed ladder of sizes (1, 2, 4, ..., max_batch) per image (H, W) —
-  a bounded executable set, same philosophy as data/buckets.py — and
-  results are sliced back per request. Requests are answered in arrival
-  order via futures; a dispatcher thread flushes on ``max_batch`` or after
-  ``max_wait_ms`` of queue idleness, trading a bounded latency floor for
-  MXU-efficient batches.
+  small fixed ladder of sizes (1, 2, 4, ..., max_batch) per image (H, W),
+  and results are sliced back per request and delivered through futures
+  (completion order follows per-shape group dispatch, not strict arrival
+  order). A dispatcher thread flushes on ``max_batch`` or ``max_wait_ms``
+  after the first queued request (a bounded worst-case latency window).
+  The executable set is bounded only when the served image shapes are:
+  pass ``restrict_to_warmed=True`` so that, after :meth:`warmup`, requests
+  with novel (H, W) are rejected fast instead of stalling every queued
+  request behind a multi-minute XLA compile (same philosophy as
+  data/buckets.py's canonical shapes).
 - :class:`ScoringServer` exposes it over HTTP (stdlib ``http.server``,
   threading; no extra dependencies):
     POST /score    body = .npz with arrays ``ref``, ``dist`` (HWC [0,1])
@@ -33,6 +37,7 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as _FuturesTimeout
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional, Sequence, Tuple
 
@@ -51,6 +56,14 @@ def _batch_ladder(max_batch: int) -> List[int]:
     return ladder
 
 
+class QueueFullError(RuntimeError):
+    """Request queue at capacity — retryable overload (HTTP 503)."""
+
+
+class UnknownShapeError(ValueError):
+    """Image shape not pre-compiled and restrict_to_warmed is on."""
+
+
 class MicroBatcher:
     """Thread-safe request coalescer in front of a VTAMIQScorer.
 
@@ -62,19 +75,22 @@ class MicroBatcher:
     """
 
     def __init__(self, scorer: VTAMIQScorer, max_batch: int = 16,
-                 max_wait_ms: float = 5.0, max_queue: int = 1024):
+                 max_wait_ms: float = 5.0, max_queue: int = 1024,
+                 restrict_to_warmed: bool = False):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self.scorer = scorer
         self.max_batch = int(max_batch)
         self.max_wait_s = max(0.0, float(max_wait_ms) / 1e3)
         self.ladder = _batch_ladder(self.max_batch)
+        self.restrict_to_warmed = bool(restrict_to_warmed)
+        self._warmed_shapes: set = set()
         self._queue: "queue.Queue" = queue.Queue(maxsize=max_queue)
         self._lock = threading.Lock()  # one device batch in flight at a time
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.stats = {"served": 0, "batches": 0, "padded_slots": 0,
-                      "errors": 0}
+                      "errors": 0, "rejected": 0}
 
     # -- public ---------------------------------------------------------------
 
@@ -90,12 +106,34 @@ class MicroBatcher:
         if self._thread is not None:
             self._thread.join(timeout)
             self._thread = None
+        # never abandon a pending future: callers blocked in result() with
+        # no timeout would hang forever
+        while True:
+            try:
+                (_r, _d, fut) = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(RuntimeError("batcher stopped"))
 
     def submit(self, ref: np.ndarray, dist: np.ndarray) -> "Future[float]":
         if ref.shape != dist.shape:
             raise ValueError(f"ref {ref.shape} != dist {dist.shape}")
+        if self.restrict_to_warmed and ref.shape[:2] not in self._warmed_shapes:
+            self.stats["rejected"] += 1
+            raise UnknownShapeError(
+                f"image shape {ref.shape[:2]} not pre-compiled "
+                f"(warmed: {sorted(self._warmed_shapes)}); warmup() it or "
+                f"construct with restrict_to_warmed=False")
         fut: "Future[float]" = Future()
-        self._queue.put((ref, dist, fut))
+        try:
+            # non-blocking: a full queue must fail FAST (503) — a blocking
+            # put would park handler threads before their timeout even starts
+            self._queue.put_nowait((ref, dist, fut))
+        except queue.Full:
+            self.stats["rejected"] += 1
+            raise QueueFullError(
+                f"request queue full ({self._queue.maxsize}); retry later")
         return fut
 
     def score(self, ref: np.ndarray, dist: np.ndarray,
@@ -106,17 +144,20 @@ class MicroBatcher:
                batch_sizes: Optional[Sequence[int]] = None):
         """Pre-compile the (h, w) pipelines at the ladder batch sizes so the
         first real request doesn't pay the XLA compile (minutes on remote
-        -compile TPU setups). Call once per expected image shape."""
+        -compile TPU setups). Call once per expected image shape; with
+        ``restrict_to_warmed`` only warmed shapes are accepted afterwards."""
         zero = np.zeros((h, w, 3), np.float32)
         for b in (batch_sizes if batch_sizes is not None else self.ladder):
             with self._lock:
                 self.scorer.score_batch([zero] * b, [zero] * b)
+        self._warmed_shapes.add((int(h), int(w)))
 
     # -- dispatcher -----------------------------------------------------------
 
     def _drain(self) -> List[tuple]:
-        """Block for one request, then opportunistically take more until
-        max_batch or the queue stays empty for max_wait_s."""
+        """Block for one request, then keep taking more until max_batch or
+        until max_wait_s has elapsed SINCE THE FIRST request (a fixed
+        window — bounded worst-case queueing latency per batch)."""
         try:
             first = self._queue.get(timeout=0.1)
         except queue.Empty:
@@ -156,7 +197,11 @@ class MicroBatcher:
             with self._lock:
                 qs = self.scorer.score_batch(refs, dists)
             for (_r, _d, fut), q in zip(group, qs):
-                fut.set_result(float(q))
+                # per-future guard: a caller-cancelled future must not
+                # poison the rest of the batch (set_result would raise
+                # InvalidStateError and divert to the except branch)
+                if not fut.done() and not fut.cancelled():
+                    fut.set_result(float(q))
             self.stats["served"] += len(group)
             self.stats["batches"] += 1
             self.stats["padded_slots"] += pad
@@ -229,10 +274,11 @@ class _Handler(BaseHTTPRequestHandler):
                                   "q_a": qa, "q_b": qb})
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
-        except TimeoutError as e:
-            # overload / first-compile latency: retryable, not a client error
-            self._reply(503, {"error": f"timed out after "
-                                       f"{self.request_timeout_s}s: {e}"})
+        except (TimeoutError, _FuturesTimeout, QueueFullError) as e:
+            # overload / first-compile latency: retryable, not a client
+            # error (concurrent.futures.TimeoutError only aliases the
+            # builtin on py3.11+, hence the explicit pair)
+            self._reply(503, {"error": f"{type(e).__name__}: {e}"})
         except Exception as e:
             self._reply(400, {"error": f"{type(e).__name__}: {e}"})
 
@@ -242,9 +288,12 @@ class ScoringServer:
 
     def __init__(self, scorer: VTAMIQScorer, host: str = "127.0.0.1",
                  port: int = 8080, max_batch: int = 16,
-                 max_wait_ms: float = 5.0, request_timeout_s: float = 60.0):
+                 max_wait_ms: float = 5.0, request_timeout_s: float = 60.0,
+                 max_queue: int = 1024, restrict_to_warmed: bool = False):
         self.batcher = MicroBatcher(scorer, max_batch=max_batch,
-                                    max_wait_ms=max_wait_ms)
+                                    max_wait_ms=max_wait_ms,
+                                    max_queue=max_queue,
+                                    restrict_to_warmed=restrict_to_warmed)
         handler = type("BoundHandler", (_Handler,), {
             "batcher": self.batcher,
             "request_timeout_s": request_timeout_s,
