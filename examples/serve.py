@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--warmup-hw", type=int, nargs=2, default=None,
                     metavar=("H", "W"),
                     help="pre-compile pipelines for this image size")
+    ap.add_argument("--restrict-to-warmed", action="store_true",
+                    help="reject novel image sizes fast instead of letting "
+                         "them stall the dispatcher behind an XLA compile "
+                         "(recommended in production with --warmup-hw)")
     args = ap.parse_args()
 
     kwargs = dict(patch_count=args.patch_count, num_repeats=args.num_repeats)
@@ -55,7 +59,8 @@ def main():
 
     server = ScoringServer(scorer, host=args.host, port=args.port,
                            max_batch=args.max_batch,
-                           max_wait_ms=args.max_wait_ms)
+                           max_wait_ms=args.max_wait_ms,
+                           restrict_to_warmed=args.restrict_to_warmed)
     if args.warmup_hw:
         h, w = args.warmup_hw
         print(f"warming up (h={h}, w={w}, ladder up to {args.max_batch})...")
