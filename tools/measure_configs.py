@@ -78,6 +78,50 @@ def inference_case(name, sampler, patch_count, batch, iters, ceiling,
     measure(name, batch, iters, loop, ceiling, params, raw)
 
 
+def train_weighted_caps():
+    """Full weighted-CAPS (centerbias + diff + uniform) fused train step at
+    the round-1 measurement config (B8 x 384p)."""
+    import optax
+    from vtamiq_tpu.train.steps import make_train_step
+    from vtamiq_tpu.train.optim import build_freeze_mask
+    batch, patches = 8, 384
+    cfg = VTAMIQConfig(vit=get_vit_config(num_keep_layers=6, num_extra_tokens=8))
+    params = init_vtamiq_params(jax.random.PRNGKey(0), cfg)
+    optimizer = optax.adamw(5e-5, weight_decay=0.01)
+    opt_state = optimizer.init(params)
+    mask = build_freeze_mask(params, False, None)
+    sampler = PatchSampler(centerbias_weight=1.0, diff_weight=1.0,
+                           uniform_weight=0.1, grid_type=GRID_TYPE_PERTURBED,
+                           diff_type=DIFF_TYPE_MAGNITUDE)
+    step = make_train_step(cfg, sampler,
+                           ExtractConfig(patch_count=patches, patch_dim=16),
+                           optimizer)
+    raw = jnp.asarray(rng.uniform(0, 1, (batch, 2, IMG_H, IMG_W, 3)), jnp.float32)
+    qs = jnp.asarray(rng.uniform(0, 1, (batch,)), jnp.float32)
+    lw = jnp.asarray((1.0, 1.0, 1.0), jnp.float32)
+    try:
+        rates = []
+        p, o = params, opt_state
+        p, o, m, _ = step(p, o, mask, raw, qs, jnp.asarray(batch),
+                          jax.random.fold_in(key, 0), lw)
+        float(m["loss"])  # compile + settle
+        for t in range(1, 9):
+            t0 = time.perf_counter()
+            p, o, m, _ = step(p, o, mask, raw, qs, jnp.asarray(batch),
+                              jax.random.fold_in(key, t), lw)
+            float(m["loss"])
+            rate = batch / (time.perf_counter() - t0)
+            if rate < 2000:
+                rates.append(rate)
+        if rates:
+            print(f"{'train weighted CAPS B8 x 384p':42s} "
+                  f"{max(rates):8.1f} pairs/s", flush=True)
+        else:
+            print("train weighted CAPS: ALL TRIALS IMPLAUSIBLE", flush=True)
+    except Exception as e:
+        print(f"train weighted CAPS FAILED: {type(e).__name__}: {e}", flush=True)
+
+
 def train_5000p():
     import optax
     from vtamiq_tpu.train.steps import make_train_step
@@ -135,6 +179,8 @@ def main(cases=None):
     if "5000p" in cases:
         inference_case("inference 5000p flash batch 8", PatchSampler(),
                        5000, 8, 4, 2000)
+    if "traincaps" in cases:
+        train_weighted_caps()
     if "train5000p" in cases:
         train_5000p()
     print("DONE", flush=True)
