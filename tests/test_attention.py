@@ -186,3 +186,18 @@ class TestPallasGatherKernel:
         assert vmem_gather_supported((384, 512, 3), jnp.bfloat16)
         assert not vmem_gather_supported((385, 512, 3), jnp.bfloat16)  # H % 8
         assert not vmem_gather_supported((4096, 4096, 3), jnp.float32)  # bytes
+
+    def test_vmem_budget_counts_output_block(self):
+        """grid=(1,) keeps the whole (N*P, P*C) output in VMEM: a 5000-patch
+        fp32 request (~15 MB output) must fall back to XLA even though the
+        image alone fits (ADVICE r2: Mosaic fails with no fallback there)."""
+        from vtamiq_tpu.ops.gather_kernel import vmem_gather_supported
+        shape = (384, 512, 3)
+        assert vmem_gather_supported(shape, jnp.float32, 16, num_patches=500,
+                                     out_dtype=jnp.float32)
+        assert not vmem_gather_supported(shape, jnp.float32, 16,
+                                         num_patches=5000,
+                                         out_dtype=jnp.float32)
+        # bf16 output halves the block; 5000 patches fit again
+        assert vmem_gather_supported(shape, jnp.float32, 16, num_patches=5000,
+                                     out_dtype=jnp.bfloat16)

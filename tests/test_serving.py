@@ -94,6 +94,36 @@ class TestMicroBatcher:
         finally:
             mb.stop()
 
+    def test_timed_out_request_not_scored(self):
+        """score() cancels its future on timeout; the dispatcher drops
+        cancelled entries before paying a device batch (ADVICE r2)."""
+        fake = FakeScorer()
+        mb = MicroBatcher(fake, max_batch=4, max_wait_ms=1.0)  # NOT started
+        ref, dist = make_pair(None, 0.25)
+        with pytest.raises(Exception):  # concurrent.futures.TimeoutError
+            mb.score(ref, dist, timeout=0.05)
+        mb.start()
+        try:
+            # live request after the abandoned one: the device batch contains
+            # only the live pair (the cancelled one is dropped, not padded in)
+            assert mb.score(ref, dist, timeout=10) == pytest.approx(0.25)
+            assert fake.batches == [1]
+            assert mb.stats["served"] == 1
+        finally:
+            mb.stop()
+
+    def test_all_cancelled_group_skips_device(self):
+        fake = FakeScorer()
+        mb = MicroBatcher(fake, max_batch=4, max_wait_ms=1.0)
+        fut = mb.submit(*make_pair(None, 0.1))
+        fut.cancel()
+        mb.start()
+        try:
+            time.sleep(0.3)
+            assert fake.batches == []
+        finally:
+            mb.stop()
+
     def test_scorer_error_propagates(self):
         class Boom:
             def score_batch(self, refs, dists):

@@ -248,6 +248,34 @@ class TestLoaderBuckets:
         for batch in loader:
             assert batch.img_hw is None
 
+    @pytest.mark.parametrize("buckets,bs,pad", [(0, 2, True), (0, 4, False),
+                                                (2, 4, True), (0, 2, True)])
+    def test_len_matches_yield_count(self, tmp_path, buckets, bs, pad):
+        """len(loader) must equal the actual batch count for variable-size
+        datasets in EVERY mode — exact-size batching groups by (H, W) and
+        flushes per-group partials, which a single ceil-division undercounts
+        (ADVICE r2)."""
+        ds = make_multisize_tid(str(tmp_path), SIZES)
+        ds.add_split()
+        loader = PatchDatasetLoader(ds, "FullDataset", batch_size=bs,
+                                    patch_count=16, prefetch=0, seed=0,
+                                    shuffle=True, num_repeats_data=2,
+                                    max_size_buckets=buckets,
+                                    pad_partial_batches=pad)
+        assert len(loader) == sum(1 for _ in loader)
+
+    def test_len_matches_yield_count_multiprocess_schedule(self, tmp_path):
+        """Multi-process mode groups by exact size in the lockstep schedule;
+        __len__ must agree with the per-process yield count."""
+        ds = make_multisize_tid(str(tmp_path), SIZES)
+        ds.add_split()
+        loaders = [PatchDatasetLoader(ds, "FullDataset", batch_size=2,
+                                      patch_count=16, prefetch=0, seed=0,
+                                      process_index=p, process_count=2)
+                   for p in range(2)]
+        counts = [sum(1 for _ in ld) for ld in loaders]
+        assert counts[0] == counts[1] == len(loaders[0]) == len(loaders[1])
+
 
 class TestEngineVarsize:
     def test_train_val_test_on_multisize_dataset(self, tmp_path):

@@ -129,26 +129,23 @@ class PatchDatasetLoader:
         """Batches per epoch (== per process in multi-process mode: every
         process yields the same count by construction).
 
-        Exact for fixed-size datasets and for canonical-bucket mode (batch
-        counts per bucket don't depend on the epoch permutation). Variable
-        -size datasets WITHOUT bucketing batch by exact (H, W), which this
-        undercounts — enable ``max_size_buckets`` for those (the feature
-        exists precisely to bound the shape set)."""
+        Exact in every mode: batches form per size group — per canonical
+        bucket when ``max_size_buckets`` > 0, per exact (H, W) otherwise —
+        and each group flushes its own partial batch, so the count is the
+        sum of per-group ceil/floor divisions (group counts don't depend on
+        the epoch permutation). Sizes come from cached header reads."""
         reps = self.num_repeats_data
         bs = self._assembly_batch_size()
-        if self.max_size_buckets > 0:
-            counts: Dict[Tuple[int, int], int] = {}
-            canonical = self.size_buckets()
-            for i in self.dataset.split_indices(self.split_name):
-                size = assign_bucket(self._item_size_cached(int(i)), canonical)
-                counts[size] = counts.get(size, 0) + 1
-            if self.pad_partial_batches:
-                return sum((c * reps + bs - 1) // bs for c in counts.values())
-            return sum((c * reps) // bs for c in counts.values())
-        n = self.dataset.split_len(self.split_name) * reps
+        canonical = self.size_buckets()  # None when exact-size batching
+        counts: Dict[Tuple[int, int], int] = {}
+        for i in self.dataset.split_indices(self.split_name):
+            size = self._item_size_cached(int(i))
+            if canonical is not None:
+                size = assign_bucket(size, canonical)
+            counts[size] = counts.get(size, 0) + 1
         if self.pad_partial_batches:
-            return (n + bs - 1) // bs
-        return n // bs
+            return sum((c * reps + bs - 1) // bs for c in counts.values())
+        return sum((c * reps) // bs for c in counts.values())
 
     # -- canonical size buckets (variable-size datasets) ---------------------
 

@@ -60,7 +60,9 @@ def gather_patches(img: jnp.ndarray, topleft: jnp.ndarray, patch_dim: int,
     mean, std, out_dtype = tile_norm if tile_norm is not None else (None, None, None)
 
     if jax.default_backend() != "cpu" and vmem_gather_supported(
-            img.shape, img.dtype, patch_dim):
+            img.shape, img.dtype, patch_dim,
+            num_patches=int(ti.shape[0]),
+            out_dtype=out_dtype if out_dtype is not None else img.dtype):
         return pallas_gather_patches(img, ti, tj, patch_dim,
                                      norm_mean=mean, norm_std=std,
                                      out_dtype=out_dtype)
@@ -71,7 +73,11 @@ def gather_patches(img: jnp.ndarray, topleft: jnp.ndarray, patch_dim: int,
     out = jax.vmap(slice_one)(ti, tj)
     if tile_norm is not None:
         if mean is not None:
-            out = (out - jnp.asarray(mean, out.dtype)) / jnp.asarray(std, out.dtype)
+            # (x - mean) * (1/std): the SAME formula as the Pallas kernel's
+            # fused store (gather_kernel.py), so TPU and fallback paths agree
+            # to the last ulp
+            inv = jnp.asarray([1.0 / float(s) for s in std], out.dtype)
+            out = (out - jnp.asarray(mean, out.dtype)) * inv
         out = out.astype(out_dtype)
     return out
 
@@ -134,7 +140,7 @@ def get_iqa_patches(
         applied per gathered tile (see gather_patches). Pass ``tensors`` ==
         raw pixels with it: normalization is affine, so it commutes with
         the mean-pool pyramid — the values match pre-normalizing the whole
-        image exactly, without ever materializing the normalized copy.
+        image (to fp rounding), without materializing the normalized copy.
 
     Returns:
       patches (K, N, P, P, 3), pos (K, N, 2) uv centers in [0,1),

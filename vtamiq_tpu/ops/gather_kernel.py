@@ -38,9 +38,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# images larger than this (bytes, bf16/fp32 as passed) stay on the XLA
-# dynamic-slice path: the image + output blocks must fit VMEM comfortably
+# images larger than this (bytes, as the kernel holds them) stay on the XLA
+# dynamic-slice path
 VMEM_IMAGE_BYTE_LIMIT = 8 * 1024 * 1024
+# combined image + output-block VMEM budget: the kernel runs with grid=(1,),
+# so the ENTIRE (N*P, P*C) output block is VMEM-resident alongside the image
+# (v5e has ~16 MB/core; leave headroom for the band/rotate temporaries)
+VMEM_TOTAL_BYTE_LIMIT = 12 * 1024 * 1024
 
 
 def _vmem_gather_kernel(ti_ref, tj_ref, img_ref, out_ref, *,
@@ -131,9 +135,10 @@ def pallas_gather_patches(img: jnp.ndarray, ti: jnp.ndarray, tj: jnp.ndarray,
     return out.reshape(n, patch_dim, patch_dim, c)
 
 
-def vmem_gather_supported(img_shape, dtype, patch_dim: int = 16) -> bool:
-    """True when the image fits the kernel's VMEM budget and the geometry
-    supports 8-aligned band loads.
+def vmem_gather_supported(img_shape, dtype, patch_dim: int = 16,
+                          num_patches: int = 0, out_dtype=None) -> bool:
+    """True when the image AND output block fit the kernel's VMEM budget and
+    the geometry supports 8-aligned band loads.
 
     Guards every kernel precondition: H a multiple of 8 (so the band base
     ``min((i//8)*8, h - band_rows)`` is 8-aligned only if ``band_rows =
@@ -141,14 +146,24 @@ def vmem_gather_supported(img_shape, dtype, patch_dim: int = 16) -> bool:
     band (``h >= band_rows``; otherwise the clamped base goes negative and
     the load reads out of bounds), and the VMEM footprint of the IMAGE AS THE
     KERNEL HOLDS IT — sub-32-bit inputs are upcast to fp32 before the call
-    (pallas_gather_patches), so the budget uses >= 4-byte items."""
+    (pallas_gather_patches), so the budget uses >= 4-byte items.
+
+    ``num_patches`` / ``out_dtype``: the kernel runs with grid=(1,), so the
+    whole (N*P, P*C) output block is VMEM-resident too — large patch budgets
+    (e.g. 5000 fp32 patches ~ 15 MB) must fall back to XLA or Mosaic fails
+    to compile with no fallback. out_dtype defaults to the input dtype
+    (pallas_gather_patches' default)."""
     h, w, c = img_shape
     if patch_dim <= 0 or patch_dim % 8 != 0:
         return False
     band_rows = patch_dim + 8
     itemsize = max(4, jnp.dtype(dtype).itemsize)
+    img_bytes = h * w * c * itemsize
+    out_itemsize = jnp.dtype(out_dtype if out_dtype is not None else dtype).itemsize
+    out_bytes = num_patches * patch_dim * patch_dim * c * out_itemsize
     return (h % 8 == 0 and h >= band_rows
             # Mosaic's tpu.dynamic_rotate needs a lane-aligned minor dim
             # (observed: "unsupported unaligned shape" at w*c=960 on v5e)
             and (w * c) % 128 == 0
-            and h * w * c * itemsize <= VMEM_IMAGE_BYTE_LIMIT)
+            and img_bytes <= VMEM_IMAGE_BYTE_LIMIT
+            and img_bytes + out_bytes <= VMEM_TOTAL_BYTE_LIMIT)

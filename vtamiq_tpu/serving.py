@@ -138,7 +138,15 @@ class MicroBatcher:
 
     def score(self, ref: np.ndarray, dist: np.ndarray,
               timeout: Optional[float] = None) -> float:
-        return self.submit(ref, dist).result(timeout)
+        fut = self.submit(ref, dist)
+        try:
+            return fut.result(timeout)
+        except _FuturesTimeout:
+            # abandon the request: a still-queued future cancels (and
+            # _score_group drops it before padding), so sustained overload
+            # doesn't keep the device scoring work no caller waits on
+            fut.cancel()
+            raise
 
     def warmup(self, h: int, w: int,
                batch_sizes: Optional[Sequence[int]] = None):
@@ -186,6 +194,11 @@ class MicroBatcher:
                 self._score_group(group)
 
     def _score_group(self, group: List[tuple]):
+        # timed-out/abandoned callers cancelled their futures while queued;
+        # don't pay device work (or pad slots) for them
+        group = [g for g in group if not g[2].cancelled()]
+        if not group:
+            return
         refs = [g[0] for g in group]
         dists = [g[1] for g in group]
         target = next(b for b in self.ladder if b >= len(group))
@@ -266,9 +279,21 @@ class _Handler(BaseHTTPRequestHandler):
             elif self.path == "/compare":
                 ref, da, db = _load_npz(body, ("ref", "dist_a", "dist_b"))
                 fa = self.batcher.submit(ref, da)
-                fb = self.batcher.submit(ref, db)
-                qa = fa.result(self.request_timeout_s)
-                qb = fb.result(self.request_timeout_s)
+                try:
+                    fb = self.batcher.submit(ref, db)
+                except Exception:
+                    # half-enqueued compare (queue filled between the two
+                    # submits): don't leave the first request consuming a
+                    # device slot nobody will read
+                    fa.cancel()
+                    raise
+                try:
+                    qa = fa.result(self.request_timeout_s)
+                    qb = fb.result(self.request_timeout_s)
+                except _FuturesTimeout:
+                    fa.cancel()
+                    fb.cancel()
+                    raise
                 pref = float(1.0 / (1.0 + np.exp(-(qa - qb))))
                 self._reply(200, {"preference": pref,
                                   "q_a": qa, "q_b": qb})
