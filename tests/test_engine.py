@@ -210,6 +210,23 @@ class TestEngineMesh:
         assert correlations is not None
         assert np.isfinite(correlations[SROCC_FIELD])
 
+    def test_train_with_seq_mesh(self, config_sandbox, tmp_path):
+        """Engine end-to-end with sequence parallelism: a (1, 1, 8) mesh —
+        attention runs through the ppermute ring (parallel/ring_attention.py)
+        with gradients flowing back around the reverse ring."""
+        C = config_sandbox
+        setup_tiny_run(C, tmp_path)
+        g = C.global_config
+        g["do_train"] = True
+        g["do_val"] = False
+        g["do_test"] = True
+        g["num_epochs"] = 1
+        g["seed"] = 3
+        g["mesh_seq"] = 8
+        correlations = engine.train()
+        assert correlations is not None
+        assert np.isfinite(correlations[SROCC_FIELD])
+
 
 class TestEnginePairwise:
     def test_pairwise_train(self, config_sandbox, tmp_path):

@@ -22,21 +22,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SEQ_AXIS = "seq"
 
 
-def make_mesh(data: int = -1, model: int = 1,
+def make_mesh(data: int = -1, model: int = 1, seq: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Create a ("data", "model") mesh. data=-1 uses all remaining devices."""
+    """Create a ("data", "model", "seq") mesh. data=-1 uses all remaining
+    devices. ``seq`` > 1 enables sequence parallelism: the train/eval steps
+    route attention through the ppermute ring (parallel/ring_attention.py)
+    with the token axis sharded across that axis."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
-        if n % model != 0:
-            raise ValueError(f"{n} devices not divisible by model={model}.")
-        data = n // model
-    if data * model > n:
-        raise ValueError(f"Mesh {data}x{model} needs {data * model} devices; have {n}.")
-    grid = np.asarray(devices[: data * model]).reshape(data, model)
-    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+        if n % (model * seq) != 0:
+            raise ValueError(
+                f"{n} devices not divisible by model*seq={model * seq}.")
+        data = n // (model * seq)
+    if data * model * seq > n:
+        raise ValueError(f"Mesh {data}x{model}x{seq} needs "
+                         f"{data * model * seq} devices; have {n}.")
+    grid = np.asarray(devices[: data * model * seq]).reshape(data, model, seq)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS, SEQ_AXIS))
+
+
+def seq_size(mesh: Optional[Mesh]) -> int:
+    """Size of the sequence-parallel axis (1 when absent / no mesh)."""
+    if mesh is None or SEQ_AXIS not in mesh.axis_names:
+        return 1
+    return mesh.shape[SEQ_AXIS]
 
 
 def _param_spec(path: str) -> P:

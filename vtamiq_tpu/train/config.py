@@ -167,6 +167,9 @@ global_config = OrderedDict(
     compute_dtype="bfloat16",
     mesh_data=1,   # data-parallel mesh axis size (1 = single chip)
     mesh_model=1,  # tensor-parallel mesh axis size
+    mesh_seq=1,    # sequence-parallel axis size: >1 shards the token axis
+    # and computes attention via the ppermute ring
+    # (parallel/ring_attention.py); for patch budgets past one chip's HBM
     max_size_buckets=0,  # >0: pad variable-size images to <= this many
     # canonical (H, W) buckets (bounded executable count; LIVE/KADIS).
     # 0 = batch by exact size (fixed-size datasets)

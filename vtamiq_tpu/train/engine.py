@@ -14,7 +14,9 @@ TPU-first differences:
   SURVEY.md §2.5).
 - Freeze/unfreeze swaps a 0/1 gradient-mask pytree — no optimizer rebuild,
   no retrace.
-- Optional (data, model) mesh: set global_config["mesh_data"/"mesh_model"].
+- Optional (data, model, seq) mesh: set global_config["mesh_data" /
+  "mesh_model" / "mesh_seq"]. mesh_seq > 1 turns on sequence parallelism —
+  attention runs through the ppermute ring (parallel/ring_attention.py).
 """
 
 from __future__ import annotations
@@ -401,9 +403,12 @@ def train():
 
     # mesh (optional multi-chip)
     mesh = None
-    if g["mesh_data"] * g["mesh_model"] > 1:
-        mesh = make_mesh(data=g["mesh_data"], model=g["mesh_model"])
-        log(f"Using device mesh: data={g['mesh_data']} model={g['mesh_model']}")
+    mesh_seq = int(g.get("mesh_seq", 1))
+    if g["mesh_data"] * g["mesh_model"] * mesh_seq > 1:
+        mesh = make_mesh(data=g["mesh_data"], model=g["mesh_model"],
+                         seq=mesh_seq)
+        log(f"Using device mesh: data={g['mesh_data']} "
+            f"model={g['mesh_model']} seq={mesh_seq}")
     elif jax.process_count() > 1:
         # multi-host (jax.distributed initialized before train()): the global
         # step MUST span every process's devices; default to pure DP

@@ -29,8 +29,27 @@ from ..ops.attention import make_attention_fn, FLASH_ATTENTION_THRESHOLD
 from ..ops.extraction import get_iqa_patches
 from ..ops.losses import loss_func_iqa, loss_func_pairwise
 from ..ops.sampling import PatchSampler, DEFAULT_NUM_SAMPLES_RATIO
-from ..parallel.mesh import batch_sharding, param_shardings, replicated, Mesh
+from ..parallel.mesh import (batch_sharding, param_shardings, replicated,
+                             seq_size, Mesh)
 from .optim import apply_mask
+
+
+def _mesh_attention_fn(mesh: Optional[Mesh], ecfg: ExtractConfig):
+    """Attention implementation for a step: ring attention when the mesh has
+    a sequence-parallel axis (>1), else the Pallas flash kernel past the
+    long-sequence threshold, else None (plain fused XLA attention).
+
+    Ring + flash compose: each ring rank holds S/seq tokens and runs the
+    LOCAL block of the online softmax, so the per-rank compute itself uses
+    the same blockwise math; flash-within-ring is a future refinement (the
+    local S/seq blocks are small enough for XLA attention at current
+    budgets)."""
+    if seq_size(mesh) > 1:
+        from ..parallel.ring_attention import make_ring_attention_fn
+        return make_ring_attention_fn(mesh)
+    if ecfg.patch_count >= FLASH_ATTENTION_THRESHOLD:
+        return make_attention_fn()
+    return None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -164,8 +183,7 @@ def make_train_step(cfg: VTAMIQConfig, sampler: PatchSampler, ecfg: ExtractConfi
     automatically use the Pallas flash-attention kernel.
     """
     extract = make_extract_fn(sampler, ecfg)
-    attention_fn = (make_attention_fn()
-                    if ecfg.patch_count >= FLASH_ATTENTION_THRESHOLD else None)
+    attention_fn = _mesh_attention_fn(mesh, ecfg)
 
     def step(params, opt_state, mask, imgs_raw, qs, valid, key, loss_weights,
              img_hw=None):
@@ -233,8 +251,7 @@ def make_eval_step(cfg: VTAMIQConfig, sampler: PatchSampler, ecfg: ExtractConfig
     (eval repeats average predictions downstream, train.py:398-409).
     ``valid`` masks host-padded items out of the logged losses."""
     extract = make_extract_fn(sampler, ecfg)
-    attention_fn = (make_attention_fn()
-                    if ecfg.patch_count >= FLASH_ATTENTION_THRESHOLD else None)
+    attention_fn = _mesh_attention_fn(mesh, ecfg)
 
     def step(params, imgs_raw, qs, valid, key, loss_weights, img_hw=None):
         patches, pos, scales = extract(imgs_raw, key, img_hw)
