@@ -1,0 +1,324 @@
+"""Parameterized TPU profiler for vtamiq_tpu — the one tool replacing the
+round-2 `profile_stages.py`, `measure_configs.py`, and the ten numbered
+`profile_experiments*.py` scripts (their findings live in
+docs/OPERATIONS.md; every measurement they made is reproducible here).
+
+Methodology (CLAUDE.md env rules):
+- every timed loop runs inside ONE jit via lax.fori_loop (rule 3: the
+  tunneled relay's per-dispatch latency would otherwise dominate);
+- timed results are consumed via float() — the only reliable completion
+  barrier on this service (rule 5);
+- time-based seeds + a program salt defeat the service's (program, inputs)
+  execution memoization (rule 3);
+- implausibly-fast readings (past the physical roofline) are rejected.
+
+Subcommands:
+  stages     extract-only / forward-only / fused pipeline rates
+  extract    extraction sub-stage breakdown (sampling / gather / full)
+  attention  attention variants at a given S: XLA softmax vs Pallas flash,
+             optional block-size sweep
+  train      fused train-step rate (fwd+bwd+AdamW), optional grad-of-flash
+             backward A/B (Pallas kernels vs XLA recompute)
+  configs    the tracked non-headline configs (weighted CAPS, 5000p)
+
+Examples:
+  PYTHONPATH=/root/repo:$PYTHONPATH nohup python tools/profiler.py stages > /tmp/prof.log 2>&1 &
+  ... profiler.py attention --patches 5000 --sweep
+  ... profiler.py train --patches 5000 --batch 2 --ab-backward
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+import jax.numpy as jnp
+
+from vtamiq_tpu.models.configs import get_vit_config, VTAMIQConfig
+from vtamiq_tpu.models.vtamiq import init_vtamiq_params, vtamiq_forward
+from vtamiq_tpu.ops.attention import flash_attention
+from vtamiq_tpu.ops.sampling import (PatchSampler, GRID_TYPE_PERTURBED,
+                                     DIFF_TYPE_MAGNITUDE)
+from vtamiq_tpu.train.steps import ExtractConfig, make_extract_fn
+
+IMG_H, IMG_W = 384, 512
+
+SEED = int(time.time()) & 0x7FFFFFFF
+SALT = (int(time.time_ns()) % 997) * 1e-13
+
+
+def build(args):
+    cfg = VTAMIQConfig(vit=get_vit_config(num_keep_layers=args.layers,
+                                          num_extra_tokens=8))
+    params = init_vtamiq_params(jax.random.PRNGKey(0), cfg)
+    if args.weighted:
+        sampler = PatchSampler(diff_weight=1.0, uniform_weight=0.1,
+                               grid_type=GRID_TYPE_PERTURBED,
+                               diff_type=DIFF_TYPE_MAGNITUDE)
+    else:
+        sampler = PatchSampler()
+    ecfg = ExtractConfig(patch_count=args.patches, patch_dim=16,
+                         norm_mean=(0.5 + SALT, 0.5, 0.5))
+    return cfg, params, sampler, ecfg
+
+
+def fresh_raw(batch):
+    s = int(time.time_ns()) & 0x7FFFFFFF
+    r = np.random.default_rng(s)
+    raw = jnp.asarray(r.uniform(0, 1, (batch, 2, IMG_H, IMG_W, 3)), jnp.float32)
+    return raw, jax.random.PRNGKey(s)
+
+
+def timeit(fn, pairs_per_call, bound, label, trials=3):
+    """Median of plausible trials. fn(t) must end in a host transfer."""
+    min_dt = pairs_per_call / bound
+    times = []
+    for t in range(trials + 2):
+        t0 = time.perf_counter()
+        float(fn(t))
+        dt = time.perf_counter() - t0
+        if dt >= min_dt:
+            times.append(dt)
+        if len(times) >= trials:
+            break
+    if not times:
+        print(f"{label}: ALL TRIALS IMPLAUSIBLY FAST (relay replay)", flush=True)
+        return None
+    dt = sorted(times)[len(times) // 2]
+    rate = pairs_per_call / dt
+    print(f"{label}: {rate:.1f} pairs/s ({dt / pairs_per_call * 1e3:.3f} ms/pair)",
+          flush=True)
+    return rate
+
+
+def loop_jit(body_fn, iters):
+    """jit(fori_loop(body)) with a float32 checksum carry."""
+    @jax.jit
+    def run(params, raw, key):
+        def body(i, acc):
+            return acc + body_fn(params, raw, jax.random.fold_in(key, i))
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+    return run
+
+
+def cmd_stages(args):
+    cfg, params, sampler, ecfg = build(args)
+    extract = make_extract_fn(sampler, ecfg)
+    iters = args.iters
+
+    def extract_sum(params, raw, key):
+        patches, pos, _ = extract(raw, key)
+        return jnp.sum(patches.astype(jnp.float32)) + jnp.sum(pos)
+
+    def fused(params, raw, key):
+        patches, pos, scales = extract(raw, key)
+        return jnp.sum(vtamiq_forward(params, cfg, patches, pos, scales))
+
+    raw, key = fresh_raw(args.batch)
+    pairs = args.batch * iters
+    for label, body, bound in [("extract-only", extract_sum, 20000.0),
+                               ("fused", fused, 5000.0)]:
+        run = loop_jit(body, iters)
+        float(run(params, raw, jax.random.fold_in(key, 9999)))
+        timeit(lambda t, run=run: run(params, raw, jax.random.fold_in(key, t)),
+               pairs, bound, label)
+
+    # forward-only on pre-extracted patches (extraction excluded)
+    patches, pos, scales = jax.jit(extract)(raw, key)
+
+    @jax.jit
+    def fwd_loop(params, patches, pos, scales):
+        def body(i, acc):
+            return acc + jnp.sum(vtamiq_forward(
+                params, cfg, patches, pos, scales)) + jnp.float32(SALT) * i
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+
+    float(fwd_loop(params, patches, pos, scales))
+    timeit(lambda t: fwd_loop(params, patches, pos, scales),
+           pairs, 5000.0, "forward-only")
+
+
+def cmd_extract(args):
+    cfg, params, sampler, ecfg = build(args)
+    iters = args.iters
+    raw, key = fresh_raw(args.batch)
+    pairs = args.batch * iters
+
+    # full extract
+    extract = make_extract_fn(sampler, ecfg)
+
+    def full(params, raw, key):
+        patches, pos, _ = extract(raw, key)
+        return jnp.sum(patches.astype(jnp.float32)) + jnp.sum(pos)
+
+    # sampling only (positions, no gather); diff map included when weighted
+    from vtamiq_tpu.ops.sampling import compute_diff_map
+
+    def sampling_only(params, raw, key):
+        def one(img, k):
+            diff = (compute_diff_map(img, sampler.diff_type)
+                    if not sampler.is_uniform else None)
+            pos = sampler.sample(k, IMG_H, IMG_W, ecfg.patch_dim,
+                                 ecfg.patch_count, diff=diff)
+            return jnp.sum(pos)
+        keys = jax.random.split(key, raw.shape[0])
+        return jnp.sum(jax.vmap(one)(raw, keys))
+
+    for label, body in [("extract-full", full), ("sampling-only", sampling_only)]:
+        run = loop_jit(body, iters)
+        float(run(params, raw, jax.random.fold_in(key, 9999)))
+        timeit(lambda t, run=run: run(params, raw, jax.random.fold_in(key, t)),
+               pairs, 50000.0, label)
+
+
+def cmd_attention(args):
+    b, h, d = args.batch, 12, 64
+    s = args.seq if args.seq else args.patches + 9
+    s = ((s + 127) // 128) * 128
+    iters = args.iters
+    key = jax.random.PRNGKey(SEED)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, s, 12, d), jnp.bfloat16)
+    k = jax.random.normal(kk, (b, s, 12, d), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, s, 12, d), jnp.bfloat16)
+    print(f"attention: B={b} S={s} H=12 D={d} bf16", flush=True)
+
+    import math as _math
+
+    def xla_attn(q, k, v):
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) / _math.sqrt(d)
+        p = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", p, v,
+                          preferred_element_type=jnp.float32).astype(q.dtype)
+
+    variants = {"xla-softmax": xla_attn}
+    blocks = [(512, 1024)]
+    if args.sweep:
+        blocks = [(256, 512), (512, 512), (512, 1024), (1024, 1024),
+                  (512, 2048), (1024, 2048)]
+    for bq, bk in blocks:
+        if s % bq or s % bk:
+            continue
+        variants[f"flash-bq{bq}-bk{bk}"] = (
+            lambda q, k, v, bq=bq, bk=bk: flash_attention(
+                q, k, v, block_q=bq, block_k=bk, use_pallas=True))
+
+    for label, fn in variants.items():
+        @jax.jit
+        def run(q, k, v, fn=fn):
+            def body(i, acc):
+                return acc + jnp.sum(fn(q * (1 + SALT * i), k, v)
+                                     .astype(jnp.float32))
+            return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+        try:
+            float(run(q, k, v))
+            t0 = time.perf_counter()
+            float(run(q, k, v))
+            dt = (time.perf_counter() - t0) / iters
+            # 4*S^2*D*H*B flops fwd
+            fl = 4 * s * s * d * 12 * b
+            print(f"{label}: {dt * 1e3:.2f} ms/call "
+                  f"({fl / dt / 1e12:.1f} TFLOPS)", flush=True)
+        except Exception as e:
+            print(f"{label}: FAILED {type(e).__name__}: {e}", flush=True)
+
+
+def cmd_train(args):
+    import optax
+    from vtamiq_tpu.train.steps import make_train_step
+    from vtamiq_tpu.train.optim import build_freeze_mask
+    cfg, params, sampler, ecfg = build(args)
+    optimizer = optax.adamw(5e-5, weight_decay=0.01)
+    opt_state = optimizer.init(params)
+    mask = build_freeze_mask(params, False, None)
+    step = make_train_step(cfg, sampler, ecfg, optimizer)
+    raw, key = fresh_raw(args.batch)
+    rng = np.random.default_rng(SEED)
+    qs = jnp.asarray(rng.uniform(0, 1, (args.batch,)), jnp.float32)
+    lw = jnp.asarray((1.0, 1.0, 1.0), jnp.float32)
+
+    def run_steps(k, n):
+        nonlocal params, opt_state
+        for i in range(n):
+            params, opt_state, metrics, _ = step(
+                params, opt_state, mask, raw, qs, jnp.asarray(args.batch),
+                jax.random.fold_in(k, i), lw)
+        return float(metrics["loss"])
+
+    run_steps(jax.random.fold_in(key, 42), 1)
+    n = max(3, args.iters // 10)
+    timeit(lambda t: run_steps(jax.random.fold_in(key, 100 + t), n) or 1.0,
+           args.batch * n, 1500.0, f"train-step ({args.patches}p, b{args.batch})")
+
+    if args.ab_backward:
+        # A/B the flash-attention VJP in isolation: Pallas bwd kernels vs
+        # the XLA blockwise-recompute fallback
+        s = ((args.patches + 9 + 127) // 128) * 128
+        kq, kk, kv = jax.random.split(jax.random.PRNGKey(SEED + 1), 3)
+        q = jax.random.normal(kq, (args.batch * 2, s, 12, 64), jnp.bfloat16)
+        k = jax.random.normal(kk, (args.batch * 2, s, 12, 64), jnp.bfloat16)
+        v = jax.random.normal(kv, (args.batch * 2, s, 12, 64), jnp.bfloat16)
+        for label, use_pallas in [("pallas-bwd", True), ("recompute-bwd", False)]:
+            def loss(q, k, v, up=use_pallas):
+                return jnp.sum(flash_attention(q, k, v, use_pallas=up)
+                               .astype(jnp.float32) ** 2)
+            g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+
+            @jax.jit
+            def rung(q, k, v, g=g):
+                def body(i, acc):
+                    gs = g(q * (1 + SALT * i), k, v)
+                    return acc + sum(jnp.sum(x.astype(jnp.float32)) for x in gs)
+                return jax.lax.fori_loop(0, 5, body, jnp.zeros((), jnp.float32))
+            try:
+                float(rung(q, k, v))
+                t0 = time.perf_counter()
+                float(rung(q, k, v))
+                dt = (time.perf_counter() - t0) / 5
+                print(f"{label}: {dt * 1e3:.1f} ms/grad", flush=True)
+            except Exception as e:
+                print(f"{label}: FAILED {type(e).__name__}: {e}", flush=True)
+
+
+def cmd_configs(args):
+    for patches, batch, weighted, label in [
+            (500, 16, False, "500p-uniform"),
+            (500, 16, True, "500p-weighted-caps"),
+            (5000, 2, False, "5000p")]:
+        a = argparse.Namespace(**vars(args))
+        a.patches, a.batch, a.weighted = patches, batch, weighted
+        print(f"== {label}", flush=True)
+        cmd_stages(a)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("cmd", choices=["stages", "extract", "attention", "train",
+                                   "configs"])
+    p.add_argument("--patches", type=int, default=500)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--layers", type=int, default=6)
+    p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--seq", type=int, default=0,
+                   help="attention: token count override (default patches+9)")
+    p.add_argument("--weighted", action="store_true",
+                   help="stratified (weighted) CAPS sampler")
+    p.add_argument("--sweep", action="store_true",
+                   help="attention: sweep flash block sizes")
+    p.add_argument("--ab-backward", action="store_true",
+                   help="train: A/B pallas vs recompute flash backward")
+    args = p.parse_args()
+    print(f"device: {jax.devices()[0]}  seed: {SEED}", flush=True)
+    {"stages": cmd_stages, "extract": cmd_extract, "attention": cmd_attention,
+     "train": cmd_train, "configs": cmd_configs}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()
