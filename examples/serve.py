@@ -41,6 +41,14 @@ def main():
     ap.add_argument("--warmup-hw", type=int, nargs=2, default=None,
                     metavar=("H", "W"),
                     help="pre-compile pipelines for this image size")
+    ap.add_argument("--size-buckets", type=int, nargs="+", default=None,
+                    metavar="H W",
+                    help="flat H W pairs of canonical size buckets (e.g. "
+                         "'--size-buckets 384 512 768 1024'): variable-size "
+                         "traffic pads up to <= these shapes and shares "
+                         "executables/batches instead of compiling per novel "
+                         "shape; with --restrict-to-warmed, any shape a "
+                         "warmed bucket covers is admitted")
     ap.add_argument("--restrict-to-warmed", action="store_true",
                     help="reject novel image sizes fast instead of letting "
                          "them stall the dispatcher behind an XLA compile "
@@ -48,6 +56,11 @@ def main():
     args = ap.parse_args()
 
     kwargs = dict(patch_count=args.patch_count, num_repeats=args.num_repeats)
+    if args.size_buckets:
+        if len(args.size_buckets) % 2:
+            ap.error("--size-buckets needs an even count of ints (H W pairs)")
+        kwargs["size_buckets"] = list(zip(args.size_buckets[0::2],
+                                          args.size_buckets[1::2]))
     if args.checkpoint:
         scorer = VTAMIQScorer.from_checkpoint(args.checkpoint, **kwargs)
     elif args.vit_npz:

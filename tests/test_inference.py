@@ -98,3 +98,52 @@ class TestCompare:
         expected = 1.0 / (1.0 + np.exp(-(qs[0] - qs[1])))
         assert abs(p - expected) < 1e-5
         assert 0.0 <= p <= 1.0
+
+
+class TestSizeBuckets:
+    """Canonical-bucket scoring (round-3: serving over variable-size traffic
+    with a bounded executable set — data/buckets.py wired into the scorer)."""
+
+    def test_exact_bucket_matches_exact_path(self):
+        """An image whose size IS a bucket shape scores identically through
+        the bucket path (img_hw == bucket dims -> same positions/patches)."""
+        ref, dist = imgs(5, 64, 64)
+        s_exact = VTAMIQScorer(cfg=SMALL_CFG, patch_count=16, seed=9)
+        s_bucket = VTAMIQScorer(cfg=SMALL_CFG, patch_count=16, seed=9,
+                                size_buckets=[(64, 64), (128, 128)])
+        q1 = s_exact.score_pair(ref, dist)
+        q2 = s_bucket.score_pair(ref, dist)
+        assert q1 == pytest.approx(q2, abs=1e-5)
+
+    def test_mixed_sizes_share_executables(self):
+        """6 distinct shapes, 2 buckets -> pipelines bounded by buckets, not
+        shapes; all finite."""
+        from vtamiq_tpu.data.buckets import compute_canonical_buckets
+        shapes = [(48, 56), (56, 64), (64, 64), (80, 96), (96, 96), (96, 112)]
+        buckets = compute_canonical_buckets(shapes, max_buckets=2)
+        assert len(buckets) <= 2
+        scorer = VTAMIQScorer(cfg=SMALL_CFG, patch_count=16,
+                              size_buckets=buckets)
+        refs, dists = zip(*(imgs(i, h, w) for i, (h, w) in enumerate(shapes)))
+        qs = scorer.score_batch(list(refs), list(dists))
+        assert np.isfinite(qs).all()
+        # one pipeline per (bucket, batch-size-of-group): <= 2 here since the
+        # grouping collapses 6 shapes into <= 2 device batches
+        assert len(scorer._pipelines) <= 2
+
+    def test_padded_scores_track_exact_scores(self):
+        """Bucket-padded scoring preserves the quality ORDERING the exact
+        path produces across distortion strengths (padding must not leak
+        into sampling/scores)."""
+        rng = np.random.default_rng(7)
+        ref = rng.uniform(0, 1, (56, 72, 3)).astype(np.float32)
+        dists = [np.clip(ref + rng.normal(0, s, ref.shape), 0, 1
+                         ).astype(np.float32) for s in (0.02, 0.1, 0.4)]
+        s_exact = VTAMIQScorer(cfg=SMALL_CFG, patch_count=32, seed=3,
+                               num_repeats=8)
+        s_bucket = VTAMIQScorer(cfg=SMALL_CFG, patch_count=32, seed=3,
+                                num_repeats=8, size_buckets=[(64, 96)])
+        q_e = s_exact.score_batch([ref] * 3, dists)
+        q_b = s_bucket.score_batch([ref] * 3, dists)
+        assert np.isfinite(q_b).all()
+        assert list(np.argsort(q_e)) == list(np.argsort(q_b))

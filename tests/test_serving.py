@@ -305,3 +305,58 @@ class TestEndToEndRealScorer:
             assert np.isfinite(out["q"])
         finally:
             srv.stop()
+
+
+class TestBucketedServing:
+    """Variable-size traffic over canonical buckets (round-3): mixed shapes
+    coalesce into shared padded device batches; restrict_to_warmed admits
+    any shape a warmed bucket covers."""
+
+    def _scorer(self, buckets):
+        from vtamiq_tpu.inference import VTAMIQScorer
+        from vtamiq_tpu.models.configs import get_vit_config, VTAMIQConfig
+        cfg = VTAMIQConfig(vit=get_vit_config(
+            num_keep_layers=1, num_extra_tokens=2, hidden_size=32,
+            mlp_dim=64, num_heads=2), num_rgs=1, num_rcabs=1, ca_reduction=4)
+        return VTAMIQScorer(cfg=cfg, patch_count=16, size_buckets=buckets)
+
+    def test_mixed_shapes_coalesce_into_bucket_batches(self):
+        from vtamiq_tpu.data.buckets import compute_canonical_buckets
+        shapes = [(48, 56), (56, 64), (64, 64), (80, 96), (96, 96), (96, 112)]
+        buckets = compute_canonical_buckets(shapes, max_buckets=2)
+        scorer = self._scorer(buckets)
+        mb = MicroBatcher(scorer, max_batch=8, max_wait_ms=100.0).start()
+        try:
+            rng = np.random.default_rng(0)
+            futs = []
+            for h, w in shapes:
+                ref = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+                dist = np.clip(ref + rng.normal(0, 0.1, ref.shape), 0, 1
+                               ).astype(np.float32)
+                futs.append(mb.submit(ref, dist))
+            qs = [f.result(120) for f in futs]
+            assert all(np.isfinite(q) for q in qs)
+            # 6 shapes -> at most one device batch per bucket (2), and the
+            # scorer compiled at most one pipeline per (bucket, ladder size)
+            assert mb.stats["batches"] <= len(buckets)
+            assert len(scorer._pipelines) <= len(buckets)
+        finally:
+            mb.stop()
+
+    def test_warmed_bucket_admits_covered_novel_shapes(self):
+        scorer = self._scorer([(64, 96)])
+        mb = MicroBatcher(scorer, max_batch=2, max_wait_ms=1.0,
+                          restrict_to_warmed=True).start()
+        try:
+            mb.warmup(64, 96, batch_sizes=[1])
+            rng = np.random.default_rng(1)
+            # novel TRUE shape, covered by the warmed bucket -> accepted
+            ref = rng.uniform(0, 1, (50, 70, 3)).astype(np.float32)
+            q = mb.score(ref, ref, timeout=120)
+            assert np.isfinite(q)
+            # uncovered shape -> fast 4xx-style rejection, no compile stall
+            big = rng.uniform(0, 1, (128, 128, 3)).astype(np.float32)
+            with pytest.raises(Exception):
+                mb.submit(big, big)
+        finally:
+            mb.stop()

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .data.buckets import assign_bucket, pad_to_bucket
 from .models.checkpoint import load_checkpoint, merge_params, MODEL_STATE_DICT
 from .models.configs import get_vit_config, VTAMIQConfig
 from .models.vit import load_vit_npz
@@ -39,7 +40,15 @@ class VTAMIQScorer:
                  patch_num_scales: int = 1,
                  num_repeats: int = 1,
                  sampler: Optional[PatchSampler] = None,
+                 size_buckets: Optional[Sequence] = None,
                  seed: int = 0):
+        """``size_buckets``: optional canonical (H, W) shapes (e.g. from
+        data.buckets.compute_canonical_buckets over the expected traffic).
+        When set, images pad up to their covering bucket and the sampler is
+        confined to the true region via img_hw — the executable count is
+        bounded by len(buckets) x ladder instead of one per novel shape,
+        and mixed-size pairs batch together (the trainer's padded-bucket
+        machinery, reused for serving)."""
         if cfg is None:
             cfg = VTAMIQConfig(vit=get_vit_config(num_keep_layers=6, num_extra_tokens=8))
         self.cfg = cfg
@@ -49,6 +58,8 @@ class VTAMIQScorer:
         self.patch_num_scales = patch_num_scales
         self.num_repeats = max(1, num_repeats)
         self.sampler = sampler if sampler is not None else PatchSampler()
+        self.size_buckets = ([(int(b[0]), int(b[1])) for b in size_buckets]
+                             if size_buckets else None)
         self._key = jax.random.PRNGKey(seed)
         self._pipelines = {}
 
@@ -72,8 +83,15 @@ class VTAMIQScorer:
 
     # -- scoring --------------------------------------------------------------
 
-    def _pipeline(self, batch: int, h: int, w: int):
-        key = (batch, h, w)
+    def executable_key(self, h: int, w: int):
+        """The (H, W) an image of true size (h, w) is scored at: its covering
+        canonical bucket when size_buckets is set, else the exact shape."""
+        if self.size_buckets:
+            return assign_bucket((h, w), self.size_buckets)
+        return (int(h), int(w))
+
+    def _pipeline(self, batch: int, h: int, w: int, with_hw: bool = False):
+        key = (batch, h, w, with_hw)
         if key in self._pipelines:
             return self._pipelines[key]
 
@@ -87,11 +105,18 @@ class VTAMIQScorer:
                 if self.patch_count >= FLASH_ATTENTION_THRESHOLD else None)
         cfg = self.cfg
 
-        @jax.jit
-        def pipeline(params, raw, rng):
-            patches, pos, scales = extract(raw, rng)
-            return vtamiq_forward(params, cfg, patches, pos, scales,
-                                  attention_fn=attn)
+        if with_hw:
+            @jax.jit
+            def pipeline(params, raw, hw, rng):
+                patches, pos, scales = extract(raw, rng, hw)
+                return vtamiq_forward(params, cfg, patches, pos, scales,
+                                      attention_fn=attn)
+        else:
+            @jax.jit
+            def pipeline(params, raw, rng):
+                patches, pos, scales = extract(raw, rng)
+                return vtamiq_forward(params, cfg, patches, pos, scales,
+                                      attention_fn=attn)
 
         self._pipelines[key] = pipeline
         return pipeline
@@ -100,26 +125,40 @@ class VTAMIQScorer:
                     dists: Sequence[np.ndarray]) -> np.ndarray:
         """Score aligned lists of reference/distorted images (float HWC in
         [0,1]; each ref must match its dist's size, but pairs may differ in
-        size — they are bucketed per (H, W) and scored per bucket).
+        size — they group per executable key: the exact (H, W), or the
+        covering canonical bucket when ``size_buckets`` is set, in which
+        case DIFFERENT true sizes share one device batch).
         Predictions average over ``num_repeats`` patch resamples (reference
         eval-repeat semantics)."""
         if len(refs) != len(dists):
             raise ValueError("refs and dists must have the same length.")
-        buckets = {}
+        groups = {}
         for i, (r, d) in enumerate(zip(refs, dists)):
             if r.shape != d.shape:
                 raise ValueError(f"pair {i}: ref {r.shape} != dist {d.shape}")
-            buckets.setdefault(r.shape[:2], []).append(i)
+            groups.setdefault(self.executable_key(*r.shape[:2]), []).append(i)
 
         out = np.empty(len(refs), float)
-        for _size, idxs in buckets.items():
-            raw = np.stack([np.stack([refs[i], dists[i]]) for i in idxs]).astype(np.float32)
+        for size, idxs in groups.items():
+            use_hw = (self.size_buckets is not None)
+            if use_hw:
+                raw = np.stack([
+                    np.stack([pad_to_bucket(refs[i], size),
+                              pad_to_bucket(dists[i], size)])
+                    for i in idxs]).astype(np.float32)
+                hw = np.asarray([refs[i].shape[:2] for i in idxs], np.int32)
+            else:
+                raw = np.stack([np.stack([refs[i], dists[i]])
+                                for i in idxs]).astype(np.float32)
+                hw = None
             b, _, h, w, _ = raw.shape
-            pipeline = self._pipeline(b, h, w)
+            pipeline = self._pipeline(b, h, w, with_hw=use_hw)
+            args = ((jnp.asarray(raw), jnp.asarray(hw)) if use_hw
+                    else (jnp.asarray(raw),))
             reps = []
             for _ in range(self.num_repeats):
                 self._key, sub = jax.random.split(self._key)
-                reps.append(np.asarray(pipeline(self.params, jnp.asarray(raw), sub), float))
+                reps.append(np.asarray(pipeline(self.params, *args, sub), float))
             out[idxs] = np.mean(reps, axis=0)
         return out
 

@@ -10,11 +10,14 @@ is new TPU-native capability for the deployment path:
   (completion order follows per-shape group dispatch, not strict arrival
   order). A dispatcher thread flushes on ``max_batch`` or ``max_wait_ms``
   after the first queued request (a bounded worst-case latency window).
-  The executable set is bounded only when the served image shapes are:
-  pass ``restrict_to_warmed=True`` so that, after :meth:`warmup`, requests
+  Variable-size traffic: construct the VTAMIQScorer with ``size_buckets``
+  (data/buckets.py canonical shapes) and requests group by their COVERING
+  BUCKET — mixed true sizes share padded device batches and the executable
+  set is bounded by len(buckets) x ladder. Without buckets, pass
+  ``restrict_to_warmed=True`` so that, after :meth:`warmup`, requests
   with novel (H, W) are rejected fast instead of stalling every queued
-  request behind a multi-minute XLA compile (same philosophy as
-  data/buckets.py's canonical shapes).
+  request behind a multi-minute XLA compile; with buckets the same flag
+  admits ANY shape a warmed bucket covers.
 - :class:`ScoringServer` exposes it over HTTP (stdlib ``http.server``,
   threading; no extra dependencies):
     POST /score    body = .npz with arrays ``ref``, ``dist`` (HWC [0,1])
@@ -116,15 +119,26 @@ class MicroBatcher:
             if not fut.done():
                 fut.set_exception(RuntimeError("batcher stopped"))
 
+    def _exec_key(self, shape) -> tuple:
+        """The executable the request will compile/run: its canonical bucket
+        when the scorer has size_buckets, else the exact (H, W). Duck-typed
+        so minimal scorer stand-ins (tests) need no bucket support."""
+        f = getattr(self.scorer, "executable_key", None)
+        if f is not None:
+            return tuple(f(int(shape[0]), int(shape[1])))
+        return (int(shape[0]), int(shape[1]))
+
     def submit(self, ref: np.ndarray, dist: np.ndarray) -> "Future[float]":
         if ref.shape != dist.shape:
             raise ValueError(f"ref {ref.shape} != dist {dist.shape}")
-        if self.restrict_to_warmed and ref.shape[:2] not in self._warmed_shapes:
+        if self.restrict_to_warmed and \
+                self._exec_key(ref.shape) not in self._warmed_shapes:
             self.stats["rejected"] += 1
             raise UnknownShapeError(
-                f"image shape {ref.shape[:2]} not pre-compiled "
-                f"(warmed: {sorted(self._warmed_shapes)}); warmup() it or "
-                f"construct with restrict_to_warmed=False")
+                f"image shape {ref.shape[:2]} maps to no pre-compiled "
+                f"executable (warmed: {sorted(self._warmed_shapes)}); "
+                f"warmup() it, add a covering size bucket, or construct "
+                f"with restrict_to_warmed=False")
         fut: "Future[float]" = Future()
         try:
             # non-blocking: a full queue must fail FAST (503) — a blocking
@@ -154,11 +168,12 @@ class MicroBatcher:
         first real request doesn't pay the XLA compile (minutes on remote
         -compile TPU setups). Call once per expected image shape; with
         ``restrict_to_warmed`` only warmed shapes are accepted afterwards."""
-        zero = np.zeros((h, w, 3), np.float32)
+        key = self._exec_key((h, w))
+        zero = np.zeros((key[0], key[1], 3), np.float32)
         for b in (batch_sizes if batch_sizes is not None else self.ladder):
             with self._lock:
                 self.scorer.score_batch([zero] * b, [zero] * b)
-        self._warmed_shapes.add((int(h), int(w)))
+        self._warmed_shapes.add(key)
 
     # -- dispatcher -----------------------------------------------------------
 
@@ -187,10 +202,12 @@ class MicroBatcher:
             items = self._drain()
             if not items:
                 continue
-            by_size = {}
+            # group by EXECUTABLE, not exact shape: with size buckets,
+            # mixed-size traffic coalesces into shared padded batches
+            by_exec = {}
             for item in items:
-                by_size.setdefault(item[0].shape, []).append(item)
-            for group in by_size.values():
+                by_exec.setdefault(self._exec_key(item[0].shape), []).append(item)
+            for group in by_exec.values():
                 self._score_group(group)
 
     def _score_group(self, group: List[tuple]):
