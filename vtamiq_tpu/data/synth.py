@@ -30,7 +30,7 @@ import numpy as np
 
 __all__ = [
     "generate_tid2013", "generate_kadid10k", "generate_live", "generate_csiq",
-    "generate_pipal", "generate_pieapp", "generate_all",
+    "generate_pipal", "generate_pieapp", "generate_kadis700k", "generate_all",
 ]
 
 
@@ -548,6 +548,112 @@ def generate_pieapp(root: str, train_refs: int = 140, pairs_per_ref: int = 483,
 
 
 # --------------------------------------------------------------------------
+# KADIS-700k (reference: data/datasets/kadis700k.py:7-147)
+# --------------------------------------------------------------------------
+
+# distortion-name token -> numeric code, as the score csv names them
+# (kadis700k.py:17-43; "denoise"=15 exists in the csv but its images were
+# never generated upstream — the parser skips those rows)
+KADIS_TYPE_TOKENS = [
+    ("gblur", 1), ("lblur", 2), ("mblur", 3), ("colordiffuse", 4),
+    ("colorshift", 5), ("colorquantize", 6), ("colorsaturate", 7),
+    ("jp2k", 9), ("jpeg", 10), ("noisegauss", 11), ("noisecolorcomp", 12),
+    ("noiseimpulse", 13), ("noisemultiplicative", 14), ("denoise", 15),
+    ("brighten", 16), ("darken", 17), ("meanshift", 18), ("jitter", 19),
+    ("noneccentricity", 20), ("pixelate", 21), ("noisequantize", 22),
+    ("colorblock", 23), ("sharpenHi", 24), ("contrastchange", 25),
+]
+
+
+def generate_kadis700k(root: str, num_refs: int = 120, num_levels: int = 5,
+                       hw: Tuple[int, int] = (384, 512), seed: int = 70000,
+                       image_refs: Optional[int] = None,
+                       denoise_every: int = 24) -> str:
+    """KADIS-700k weak-label layout (scaled down from 134,260 refs):
+    ``kadis700k/ref_imgs/<ref>.bmp`` + ``kadis700k/dist_imgs/
+    <ref>_<TT>_<LL>.bmp`` (numeric type codes) + the THREE score-file
+    versions the parser accepts (kadis700k.py:80-88):
+      kadis700k_friqa_no15.csv  11 columns, VSI at index 6 (version 0)
+      kadis700k_vtamiq.csv      weak VTAMIQ label in the last column (v1)
+      kadis700k_v2.csv          PU-relabeled variant, last column (v2)
+    Each ref gets EXACTLY num_dist_images=5 valid rows (the real no15 csv is
+    count-consistent: 671300/5 refs after excluding type 15); every
+    ``denoise_every``-th ref additionally gets a csv-only "denoise" (type 15)
+    row whose image is NOT written — exercising the parser's skip path
+    without breaking the 5-per-ref count. Weak labels are quality-correlated
+    (severity_to_quality), so pretraining on them genuinely teaches
+    distortion ordering."""
+    params = dict(kind="kadis700k", num_refs=num_refs, num_levels=num_levels,
+                  hw=list(hw), seed=seed, image_refs=image_refs,
+                  denoise_every=denoise_every)
+    if _done(root, params):
+        return root
+    h, w = hw
+    base_dir = os.path.join(root, "kadis700k")
+    ref_dir = os.path.join(base_dir, "ref_imgs")
+    dist_dir = os.path.join(base_dir, "dist_imgs")
+    os.makedirs(ref_dir, exist_ok=True)
+    os.makedirs(dist_dir, exist_ok=True)
+
+    master = np.random.default_rng(seed)
+    usable_tokens = [(n, c) for n, c in KADIS_TYPE_TOKENS if c != 15]
+    gains = _type_gains(master, len(usable_tokens))
+    header = ("dist_img,ref_img,ssim,ms_ssim,iw_ssim,mdsi,vsi,fsim,gmsd,"
+              "sff,vtamiq")
+    rows_v0, rows_v1, rows_v2 = [header], [header], [header]
+    for r in range(num_refs):
+        rng = np.random.default_rng(seed + 1000 + r)
+        write = _want_images(r, image_refs)
+        base = make_base_image(rng, h, w) if write else None
+        ref_name = f"k{r:06d}.bmp"
+        if write:
+            _save(base, os.path.join(ref_dir, ref_name))
+        n_rows = 5 + (1 if denoise_every and r % denoise_every == 0 else 0)
+        for d in range(n_rows):
+            if d == 5:  # the extra, parser-skipped row
+                token, code = "denoise", 15
+                ti = None
+            else:
+                ti = int(rng.integers(len(usable_tokens)))
+                token, code = usable_tokens[ti]
+            lvl = int(rng.integers(1, num_levels + 1))
+            csv_dist = f"{ref_name[:-4]}_{token}_{lvl}.bmp"
+            if code != 15:
+                quality = severity_to_quality(rng, lvl, num_levels, gains[ti])
+                disk_dist = f"{ref_name[:-4]}_{code:02d}_{lvl:02d}.bmp"
+                if write:
+                    # map the KADIS token onto one of the synthetic
+                    # distortion families (deterministic per type code)
+                    dist = apply_distortion(rng, base, ti, lvl, num_levels,
+                                            gains[ti])
+                    _save(dist, os.path.join(dist_dir, disk_dist))
+            else:
+                quality = 0.5
+            # weak-label directions: VSI is a similarity (HIGHER=better,
+            # version 0, served qs_reverse=False — the reference quirk);
+            # vtamiq/v2 come from a VTAMIQ trained on KADID (qs_reverse=True)
+            # so those predict distortion: HIGHER=worse, matching the
+            # TID-convention targets the finetune datasets use
+            vsi = quality + float(rng.normal(0, 0.01))
+            vt = (1.0 - quality) + float(rng.normal(0, 0.01))
+            v2 = (1.0 - quality) + float(rng.normal(0, 0.01))
+            filler = ",".join(f"{quality:.3f}" for _ in range(4))
+            rows_v0.append(f"{csv_dist},{ref_name},{filler},{vsi:.4f},"
+                           f"0.9,0.05,0.8,{vt:.4f}")
+            rows_v1.append(f"{csv_dist},{ref_name},{filler},{vsi:.4f},"
+                           f"0.9,0.05,0.8,{vt:.4f}")
+            rows_v2.append(f"{csv_dist},{ref_name},{filler},{vsi:.4f},"
+                           f"0.9,0.05,0.8,{v2:.4f}")
+    for fname, rows in [("kadis700k_friqa_no15.csv", rows_v0),
+                        ("kadis700k_vtamiq.csv", rows_v1),
+                        ("kadis700k_v2.csv", rows_v2)]:
+        with open(os.path.join(root, fname), "w") as f:
+            f.write("\n".join(rows) + "\n")
+    _mark_done(root, params)
+    return root
+
+
+# --------------------------------------------------------------------------
 # orchestrator + CLI
 # --------------------------------------------------------------------------
 
@@ -583,6 +689,10 @@ def generate_all(root: str, datasets: Iterable[str] = ("tid2013",),
                 os.path.join(root, "PieAPP_dataset"),
                 image_refs=None if full else 4,
                 image_test_refs=None if full else 4)
+        elif name == "kadis700k":
+            out[name] = generate_kadis700k(
+                os.path.join(root, "kadis700k"),
+                num_refs=120 if full else 12)
         else:
             raise ValueError(f"synth: unknown dataset [{name}]")
     return out
