@@ -630,3 +630,52 @@ class TestKadisPretrainWorkflow:
         assert cors_pre[SROCC_FIELD] > cors_cold[SROCC_FIELD], (
             f"pretrained {cors_pre[SROCC_FIELD]:.3f} <= "
             f"cold {cors_cold[SROCC_FIELD]:.3f}")
+
+
+class TestPostDonationRecovery:
+    """A transient fault landing AFTER buffer donation deletes the live
+    params/opt_state; the engine must rebuild both from latest.npz and
+    finish the epoch (round-2 VERDICT weak #5 / next-step #7)."""
+
+    def test_recovers_and_finishes_epoch(self, config_sandbox, tmp_path,
+                                         monkeypatch):
+        import jax
+        C = config_sandbox
+        setup_tiny_run(C, tmp_path)
+        g = C.global_config
+        g["do_train"], g["do_val"], g["do_test"] = True, False, True
+        g["num_epochs"] = 1
+        g["seed"] = 5
+        g["save_optimizer"] = True
+        g["checkpoint_every_n_batches"] = 1   # latest.npz after every batch
+        g["device_fault_retries"] = 1
+
+        calls = {"n": 0}
+        orig = engine.make_train_step
+
+        def patched(*a, **k):
+            real = orig(*a, **k)
+
+            def faulty(params, opt_state, *rest):
+                calls["n"] += 1
+                if calls["n"] == 3:
+                    # simulate hardware donation: the dispatch consumed the
+                    # donated inputs (CPU jit ignores donation, so delete
+                    # explicitly), then the fault surfaces
+                    out = real(params, opt_state, *rest)
+                    jax.block_until_ready(out)
+                    jax.tree_util.tree_map(lambda x: x.delete(),
+                                           (params, opt_state))
+                    raise RuntimeError("UNAVAILABLE: TPU device error "
+                                       "(injected post-donation)")
+                return real(params, opt_state, *rest)
+
+            return faulty
+
+        monkeypatch.setattr(engine, "make_train_step", patched)
+        correlations = engine.train()
+        assert correlations is not None
+        assert np.isfinite(correlations[SROCC_FIELD])
+        # the faulted batch was redone after recovery: 3 clean + 1 fault + 1
+        # redo = 5 dispatches for 3 train batches, then test phase uses eval
+        assert calls["n"] >= 4

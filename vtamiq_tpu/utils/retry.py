@@ -8,10 +8,12 @@ analogous skip-batch workaround for transient host decode faults
 
 Caveat for donated buffers: the fused train step donates params/opt_state
 (jit donate_argnums). If a fault strikes AFTER the runtime consumed the
-donated buffers, the retry will fail with a "buffer deleted" error — that
-secondary failure propagates (the run then restarts from the latest
-checkpoint via the resume path). In practice the transient faults observed
-here occur at program launch, before donation takes effect.
+donated buffers, the retry fails with a "buffer deleted" secondary error.
+The engine classifies that case (engine._buffer_casualty) and AUTO-RECOVERS
+in-epoch: params + optimizer state rebuild from latest.npz and the faulted
+batch is redone (tests/test_engine.py::TestPostDonationRecovery). In
+practice the transient faults observed here occur at program launch, before
+donation takes effect.
 """
 
 from __future__ import annotations
