@@ -296,3 +296,97 @@ class TestKSParity:
         frac_ours = np.mean(ours[1] < w / 2)
         frac_theirs = np.mean(theirs[1] < w / 2)
         assert abs(frac_ours - frac_theirs) < 0.03, (frac_ours, frac_theirs)
+
+
+class TestDissolveStress:
+    """Stress the 12-pass expected-value dissolve approximation
+    (ops/sampling.py _dissolve_alloc) against the reference's data-dependent
+    while-loop (patch_sampling.py:277-294) on the pathological maps the
+    round-2 VERDICT flagged: near-delta and multi-modal probability maps."""
+
+    @staticmethod
+    def _ref_dissolve(probs, num_samples, rng):
+        """The reference's random-dissolve loop, verbatim semantics
+        (patch_sampling.py:277-294) on a per-cell probability vector."""
+        c = np.ceil(probs * num_samples).astype(int).flatten()
+        n_cells = len(c)
+        while c.sum() != num_samples:
+            total = c.sum()
+            d = total - num_samples
+            pa = c / total
+            pa = (pa.max() + 1e-3) - pa
+            pa = pa / pa.sum()
+            idx = rng.choice(n_cells, abs(d), replace=True, p=pa)
+            v = 1 if d < 0 else -1
+            c[idx] = np.maximum(c[idx] + v, 0)
+        return c
+
+    def _mean_counts(self, probs, num_samples, reps=200, seed=0):
+        from vtamiq_tpu.ops.sampling import _dissolve_alloc
+        probs_j = jnp.asarray(probs, jnp.float32)
+        alloc = jax.jit(lambda k: _dissolve_alloc(k, probs_j, num_samples))
+        key = jax.random.PRNGKey(seed)
+        ours = np.zeros(len(probs))
+        for _ in range(reps):
+            key, sub = jax.random.split(key)
+            c = np.asarray(alloc(sub))
+            assert c.sum() == num_samples  # exact-N invariant, ALWAYS
+            assert (c >= 0).all()
+            ours += c
+        ours /= reps
+        rng = np.random.default_rng(seed)
+        theirs = np.zeros(len(probs))
+        for _ in range(reps):
+            theirs += self._ref_dissolve(probs, num_samples, rng)
+        theirs /= reps
+        return ours, theirs
+
+    def _check(self, probs, num_samples, tol_abs=0.6, tol_frac=0.05):
+        probs = np.asarray(probs, float)
+        probs = probs / probs.sum()
+        ours, theirs = self._mean_counts(probs, num_samples)
+        diff = np.abs(ours - theirs)
+        bound = np.maximum(tol_abs, tol_frac * theirs)
+        assert (diff <= bound).all(), (
+            f"mean-count mismatch: worst {diff.max():.2f} at cell "
+            f"{diff.argmax()} (ours {ours[diff.argmax()]:.2f} vs ref "
+            f"{theirs[diff.argmax()]:.2f})")
+
+    def test_near_delta(self):
+        """97% of mass in one cell; ceil overshoots by ~25%."""
+        probs = np.full(64, 0.0005)
+        probs[17] = 0.97
+        self._check(probs, 200)
+
+    def test_true_delta(self):
+        probs = np.zeros(64)
+        probs[3] = 1.0
+        self._check(probs, 200)
+
+    def test_multi_modal(self):
+        """Three sharp far-apart peaks over a low floor."""
+        probs = np.full(100, 0.001)
+        probs[[7, 44, 91]] = 0.3
+        self._check(probs, 256)
+
+    def test_heavy_overshoot_many_cells(self):
+        """Many tiny cells: ceil gives every cell 1 -> massive overshoot
+        (the regime where fixed passes could fail to converge before the
+        rescale fallback)."""
+        probs = np.full(400, 1.0)
+        self._check(probs, 128, tol_abs=0.25)
+
+    def test_end_to_end_near_delta_positions(self):
+        """Full weighted sampling on a near-delta diff map vs the reference:
+        per-axis KS on the drawn positions."""
+        import data.patch_sampling as ref_ps
+        h, w, p, n, reps = 128, 128, 16, 200, 40
+        yy, xx = np.mgrid[0:h, 0:w]
+        prob = np.exp(-(((yy - 40) ** 2 + (xx - 88) ** 2) / (2 * 4.0 ** 2)))
+        prob = prob + 1e-5
+        prob /= prob.sum()
+        ours, theirs = TestKSParity()._weighted_draws(
+            GRID_TYPE_PERTURBED, ref_ps.GRID_TYPE_PERTURBED,
+            prob, h, w, p, n, reps, seed=13)
+        assert ks_statistic(ours[0], theirs[0]) < 0.04
+        assert ks_statistic(ours[1], theirs[1]) < 0.04
