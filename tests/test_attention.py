@@ -105,6 +105,50 @@ class TestFlashAttention:
         ref = exact_attention(q, k, v, mask)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
+    def test_pallas_backward_kernels_match_exact(self):
+        """The FlashAttention-2 dq/dkv Pallas kernels (interpret mode)
+        against autodiff through exact attention."""
+        from jax.experimental.pallas import tpu as pltpu
+        q, k, v = make_qkv(b=2, s=256, h=2, d=32, seed=5)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, block_q=128, block_k=128,
+                                           use_pallas=True) ** 2)
+
+        def loss_exact(q, k, v):
+            return jnp.sum(exact_attention(q, k, v) ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_exact, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-4)
+
+    def test_pallas_backward_masked_and_padded(self):
+        """Key mask + non-divisible S (internal padding): pad/masked keys
+        get ZERO gradient and real grads match exact autodiff."""
+        from jax.experimental.pallas import tpu as pltpu
+        q, k, v = make_qkv(b=1, s=200, h=2, d=32, seed=7)  # pads to 256
+        mask = jnp.ones((1, 200), bool).at[:, 160:].set(False)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, mask, block_q=128,
+                                           block_k=128, use_pallas=True) ** 2)
+
+        def loss_exact(q, k, v):
+            return jnp.sum(exact_attention(q, k, v, mask) ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_exact, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-4)
+        # masked keys contribute nothing -> dk/dv zero there
+        assert float(jnp.abs(g1[1][:, 160:]).max()) == 0.0
+        assert float(jnp.abs(g1[2][:, 160:]).max()) == 0.0
+
 
 class TestAttentionFnIntegration:
     def test_small_seq_uses_exact(self):

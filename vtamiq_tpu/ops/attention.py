@@ -7,11 +7,13 @@ batch 16x2 towers the logits tensor alone is ~20 GB. This module provides:
 
 - ``flash_attention``: a Pallas TPU kernel computing softmax(QK^T/sqrt(d))V
   with online (streaming) softmax — O(S) memory, MXU-tiled blocks, fp32
-  accumulators — plus a memory-efficient custom VJP that recomputes
-  attention blockwise on the backward pass (flash-backward), so the
-  5000-patch config trains within HBM.
+  accumulators. Its custom VJP runs FlashAttention-2-style Pallas backward
+  kernels (dq + fused dk/dv) over the saved per-query logsumexp — no
+  forward recompute, no (S, S) tensor — so the 5000-patch config trains
+  within HBM at ~2.5x forward cost instead of the recompute scan's ~7x.
 - ``blockwise_attention``: a pure-XLA lax.scan fallback with identical
-  semantics (used on CPU/interpret tests and as the VJP building block).
+  semantics (used on CPU/interpret tests; its remat-recompute VJP is the
+  backward fallback off-TPU).
 
 Both support key-validity masks for padded patch sequences.
 
@@ -107,10 +109,11 @@ def blockwise_attention(q, k, v, mask: Optional[jnp.ndarray] = None,
 # Pallas flash-attention forward kernel
 # --------------------------------------------------------------------------
 
-def _flash_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
                       m_scratch, l_scratch, acc_scratch, *, scale, nk):
     """Grid (B, H, nQ, nK); the trailing (sequential) nK axis streams key
-    blocks through the online softmax held in VMEM scratch."""
+    blocks through the online softmax held in VMEM scratch. Emits the
+    per-query logsumexp for the flash-backward kernels."""
     k_idx = pl.program_id(3)
 
     @pl.when(k_idx == 0)
@@ -148,10 +151,16 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
     def _finalize():
         l = jnp.maximum(l_scratch[...], 1e-30)
         o_ref[0, 0] = (acc_scratch[...] / l).astype(o_ref.dtype)
+        lse_ref[0, 0] = m_scratch[...] + jnp.log(l)
 
 
 def _flash_forward(q, k, v, mask, block_q, block_k):
-    """(B, H, S, D) inputs -> out (B, H, S, D)."""
+    """(B, H, S, D) inputs -> (out (B, H, S, D), lse (B, H, S, 1) fp32).
+
+    lse carries a trailing singleton axis so its blocks are (BQ, 1) tiles —
+    Mosaic requires the last two block dims be (8-divisible, 128-divisible)
+    OR equal to the array dims; (…, BQ, 1) satisfies that where a 3-D
+    (1, 1, BQ) block does not."""
     b, h, s, d = q.shape
     scale = 1.0 / math.sqrt(d)
     nq = s // block_q
@@ -160,7 +169,7 @@ def _flash_forward(q, k, v, mask, block_q, block_k):
     kernel = functools.partial(_flash_fwd_kernel, scale=scale, nk=nk)
     grid = (b, h, nq, nk)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -169,44 +178,201 @@ def _flash_forward(q, k, v, mask, block_q, block_k):
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
             pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki)),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, d),
-                               lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 1),
+                         lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, s, 1), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
     )(q, k, v, mask.astype(jnp.int32)[:, None, :])
-    return out
+    return out, lse
+
+
+# --------------------------------------------------------------------------
+# Pallas flash-attention backward kernels (FlashAttention-2 style)
+# --------------------------------------------------------------------------
+#
+# Residuals: out + per-query logsumexp from the forward. Precompute
+# delta_i = sum_d dO_i O_i (XLA, elementwise). Then
+#   p_ij  = exp(q_i k_j / sqrt(d) - lse_i)
+#   ds_ij = p_ij (dP_ij - delta_i) / sqrt(d),  dP = dO V^T
+#   dq_i  = sum_j ds_ij k_j     (dq kernel: grid over q blocks, scan k)
+#   dk_j  = sum_i ds_ij q_i     (dkv kernel: grid over k blocks, scan q)
+#   dv_j  = sum_i p_ij dO_i
+# No (S, S) tensor ever materializes; each kernel holds one (BQ, BK) tile.
+# Replaces the XLA blockwise-recompute VJP (round-2 VERDICT #4): the
+# recompute scan re-ran the full forward inside the backward AND
+# differentiated it, ~7x fwd cost at 5000 patches; this is ~2.5x.
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         mask_ref, dq_ref, acc, *, scale, nk):
+    k_idx = pl.program_id(3)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+
+    q = q_ref[0, 0]                                # (BQ, D)
+    k = k_ref[0, 0]                                # (BK, D)
+    v = v_ref[0, 0]                                # (BK, D)
+    do = do_ref[0, 0]                              # (BQ, D)
+    lse = lse_ref[0, 0]                            # (BQ, 1)
+    delta = delta_ref[0, 0]                        # (BQ, 1)
+    kmask = mask_ref[0, 0] != 0                    # (BK,)
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    logits = jnp.where(kmask[None, :], logits, NEG_INF)
+    p = jnp.exp(logits - lse)                      # (BQ, BK) fp32
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)         # (BQ, BK)
+    ds = (p * (dp - delta) * scale).astype(k.dtype)
+    acc[...] += jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)         # (BQ, D)
+
+    @pl.when(k_idx == nk - 1)
+    def _finalize():
+        dq_ref[0, 0] = acc[...].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          mask_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+                          scale, nq):
+    q_idx = pl.program_id(3)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0, 0]                                # (BQ, D)
+    k = k_ref[0, 0]                                # (BK, D)
+    v = v_ref[0, 0]                                # (BK, D)
+    do = do_ref[0, 0]                              # (BQ, D)
+    lse = lse_ref[0, 0]                            # (BQ, 1)
+    delta = delta_ref[0, 0]                        # (BQ, 1)
+    kmask = mask_ref[0, 0] != 0                    # (BK,)
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    logits = jnp.where(kmask[None, :], logits, NEG_INF)
+    p = jnp.exp(logits - lse)                      # (BQ, BK) fp32
+    dv_acc[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)         # (BK, D)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)         # (BQ, BK)
+    ds = (p * (dp - delta) * scale).astype(q.dtype)
+    dk_acc[...] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)         # (BK, D)
+
+    @pl.when(q_idx == nq - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, do, out, lse, mask, block_q, block_k):
+    """(B, H, S, D) tensors + lse (B, H, S, 1) -> (dq, dk, dv).
+
+    lse/delta keep a trailing singleton axis so their blocks are (BQ, 1)
+    tiles (see _flash_forward on Mosaic's block-shape divisibility rule)."""
+    b, h, s, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    nq = s // block_q
+    nk = s // block_k
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1, keepdims=True)         # (B, H, S, 1)
+    mask_i = mask.astype(jnp.int32)[:, None, :]     # (B, 1, S)
+
+    q_spec_q = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0))
+    k_spec_q = pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0))
+    r_spec_q = pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi, ki: (bi, hi, qi, 0))
+    m_spec_q = pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki))
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, nk=nk),
+        grid=(b, h, nq, nk),
+        in_specs=[q_spec_q, k_spec_q, k_spec_q, q_spec_q, r_spec_q, r_spec_q,
+                  m_spec_q],
+        out_specs=q_spec_q,
+        out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+    )(q, k, v, do, lse, delta, mask_i)
+
+    # dkv grid: k blocks outer, q blocks inner (sequential accumulation)
+    q_spec_k = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, ki, qi: (bi, hi, qi, 0))
+    k_spec_k = pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0))
+    r_spec_k = pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, ki, qi: (bi, hi, qi, 0))
+    m_spec_k = pl.BlockSpec((1, 1, block_k), lambda bi, hi, ki, qi: (bi, 0, ki))
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale, nq=nq),
+        grid=(b, h, nk, nq),
+        in_specs=[q_spec_k, k_spec_k, k_spec_k, q_spec_k, r_spec_k, r_spec_k,
+                  m_spec_k],
+        out_specs=[k_spec_k, k_spec_k],
+        out_shape=[jax.ShapeDtypeStruct((b, h, s, d), k.dtype),
+                   jax.ShapeDtypeStruct((b, h, s, d), v.dtype)],
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                        pltpu.VMEM((block_k, d), jnp.float32)],
+    )(q, k, v, do, lse, delta, mask_i)
+    return dq, dk, dv
 
 
 # --------------------------------------------------------------------------
 # custom VJP: pallas forward, blockwise-recompute backward
 # --------------------------------------------------------------------------
 
-def _attn_padded(q, k, v, mask, block_q, block_k, use_pallas):
-    """Pad S to lcm-friendly multiples and dispatch. q,k,v (B, S, H, D)."""
-    b, s, h, d = q.shape
+def _pad_seq(x, pad):
+    return jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0))) if pad else x
+
+
+def _seq_padding(s, block_q, block_k):
     blk = max(block_q, block_k)
-    s_pad = ((s + blk - 1) // blk) * blk
-    pad = s_pad - s
+    return ((s + blk - 1) // blk) * blk - s
+
+
+def _attn_padded(q, k, v, mask, block_q, block_k, use_pallas,
+                 with_residuals=False):
+    """Pad S to lcm-friendly multiples and dispatch. q,k,v (B, S, H, D).
+    ``with_residuals`` also returns (out_padded, lse, mask_padded) for the
+    flash-backward kernels (Pallas path only)."""
+    b, s, h, d = q.shape
+    pad = _seq_padding(s, block_q, block_k)
     if mask is None:
         mask = jnp.ones((b, s), bool)
     if pad:
-        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        q, k, v = _pad_seq(q, pad), _pad_seq(k, pad), _pad_seq(v, pad)
         mask = jnp.pad(mask.astype(bool), ((0, 0), (0, pad)))
 
     if use_pallas:
         qt = q.transpose(0, 2, 1, 3)  # (B, H, S, D)
         kt = k.transpose(0, 2, 1, 3)
         vt = v.transpose(0, 2, 1, 3)
-        out = _flash_forward(qt, kt, vt, mask, block_q, block_k)
-        out = out.transpose(0, 2, 1, 3)
+        out_t, lse = _flash_forward(qt, kt, vt, mask, block_q, block_k)
+        out = out_t.transpose(0, 2, 1, 3)
+        if with_residuals:
+            return out[:, :s] if pad else out, (out_t, lse, mask)
     else:
         out = blockwise_attention(q, k, v, mask, block_k=block_k)
+        if with_residuals:
+            return out[:, :s] if pad else out, None
     return out[:, :s] if pad else out
 
 
@@ -216,14 +382,31 @@ def _flash_attention_impl(q, k, v, block_q, block_k, use_pallas, mask):
 
 
 def _flash_fwd_rule(q, k, v, block_q, block_k, use_pallas, mask):
-    out = _attn_padded(q, k, v, mask, block_q, block_k, use_pallas)
-    return out, (q, k, v, mask)
+    out, res = _attn_padded(q, k, v, mask, block_q, block_k, use_pallas,
+                            with_residuals=True)
+    return out, (q, k, v, mask, res)
 
 
 def _flash_bwd_rule(block_q, block_k, use_pallas, residuals, g):
-    """Memory-efficient backward: recompute attention blockwise under
-    remat; XLA differentiates the O(S*BK)-memory scan."""
-    q, k, v, mask = residuals
+    """Pallas path: FlashAttention-2 dq/dkv kernels over the saved
+    (out, lse) — no forward recompute, no (S, S) tensor. XLA/CPU path:
+    recompute attention blockwise under remat and let XLA differentiate
+    the O(S*BK)-memory scan."""
+    q, k, v, mask, res = residuals
+    if res is not None:
+        out_t, lse, mask_pad = res                 # padded, (B, H, S', D)
+        b, s, h, d = q.shape
+        pad = _seq_padding(s, block_q, block_k)
+        gt = _pad_seq(g, pad).transpose(0, 2, 1, 3)
+        qt = _pad_seq(q, pad).transpose(0, 2, 1, 3)
+        kt = _pad_seq(k, pad).transpose(0, 2, 1, 3)
+        vt = _pad_seq(v, pad).transpose(0, 2, 1, 3)
+        dq, dk, dv = _flash_backward(qt, kt, vt, gt, out_t, lse, mask_pad,
+                                     block_q, block_k)
+        dq = dq.transpose(0, 2, 1, 3)[:, :s]
+        dk = dk.transpose(0, 2, 1, 3)[:, :s]
+        dv = dv.transpose(0, 2, 1, 3)[:, :s]
+        return dq, dk, dv, None
 
     def f(q, k, v):
         return blockwise_attention(q, k, v, mask, block_k=block_k)
