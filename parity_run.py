@@ -17,11 +17,26 @@ Configs (BASELINE.json "configs"):
   2. TID2013 test-set eval — both frameworks run their FULL stacks (decode
      -> Q processing -> sampling -> model -> correlations) with identical
      weights; gate on |SROCC_ours - SROCC_torch| and |PLCC_...| <= 0.005.
-     Also reports ours with the CAPS-SSIM diff map (capability the
-     reference's README promises but never implemented).
-  3. KADID-10k training epoch (stratified CAPS + DiffNet) via the engine.
-  4. Multiscale CAPS run_multi sweep (16/32/64 px at ratio 2.0) on LIVE.
-  5. PIPAL 5000-patch training + cross-database eval (LIVE/CSIQ/TID2013).
+     Full mode: the whole test split (~600 pairs), num_repeats_test=4
+     (reference train.py:912-941, train_config.py:84-85). Also reports ours
+     with the CAPS-SSIM diff map (capability the reference's README promises
+     but never implemented).
+  3. KADID-10k training epoch (stratified CAPS + DiffNet) via the engine,
+     anchored to torch two ways: (a) identical-weights val-split eval delta
+     (the trained checkpoint scored through BOTH stacks), and (b) full mode
+     only: a training-dynamics anchor — both frameworks fine-tune the SAME
+     initial weights for one epoch on the SAME sub-split, then each
+     evaluates with its own trained weights (wide gate: the frameworks use
+     independent RNG streams, so this anchors dynamics, not bitwise math).
+  4. Multiscale CAPS run_multi sweep (16/32/64 px at ratio 2.0) on LIVE
+     (full mode: 10 runs x 3 epochs; reference run_multi.py:24-38 does 20),
+     anchored by an identical-weights MULTISCALE eval delta vs torch (same
+     3-scale budget/scale-embedding path, TID test pairs).
+  5. PIPAL 5000-patch training (full mode: true 5000 patches) +
+     cross-database eval (LIVE/CSIQ/TID2013), anchored by an identical
+     -weights eval delta vs torch on TID with the PIPAL-trained checkpoint.
+     The reference CANNOT train this config: quadratic attention's logits at
+     S=5009 tokens are ~20 GB (transformer.py:158-164) — recorded as such.
 
 Weights for configs 1-2 come from a quick training run on the TID2013 train
 split (engine path), so correlations are meaningful; pass --checkpoint to
@@ -67,9 +82,18 @@ def parse_args(argv=None):
                    help="config-1 |q_ours - q_torch| gate (fp32)")
     p.add_argument("--train-epochs", type=int, default=2)
     p.add_argument("--repeats", type=int, default=2,
-                   help="eval patch-resampling repeats (config 2)")
+                   help="eval patch-resampling repeats (quick mode; full "
+                        "mode uses the reference's num_repeats_test=4)")
     p.add_argument("--torch-pairs", type=int, default=64,
                    help="cap on reference-side eval pairs (quick mode)")
+    p.add_argument("--torch-pairs-full", type=int, default=128,
+                   help="reference-side pair cap for the config 3/4/5 eval "
+                        "anchors in full mode (config 2 is never capped in "
+                        "full mode; torch CPU runs ~4 s/pair at 512 patches)")
+    p.add_argument("--dynamics-gate", type=float, default=0.25,
+                   help="config-3 training-dynamics val-SROCC delta gate "
+                        "(independent RNG streams: this anchors learning, "
+                        "not bitwise numerics)")
     p.add_argument("--checkpoint", default=None,
                    help="framework checkpoint (.npz) to use instead of quick-training")
     p.add_argument("--seed", type=int, default=0)
@@ -93,7 +117,12 @@ def ensure_datasets(root: str, names, full: bool):
         if os.path.exists(probes[name]) and not os.path.exists(marker):
             kinds[name] = "real"
             continue
-        synth.generate_all(root, [name], full=(full or name == "tid2013"))
+        # PIPAL stays at the 6-ref image subset even in full mode: config 5
+        # deliberately trains that subset (the full-mode claim there is the
+        # 5000-PATCH sequence length, not the PIPAL corpus size) — writing
+        # 23k unused synthetic images would add ~20 min of gen for nothing
+        gen_full = (full or name == "tid2013") and name != "pipal"
+        synth.generate_all(root, [name], full=gen_full)
         kinds[name] = "synthetic"
     return kinds
 
@@ -134,6 +163,15 @@ def build_cfg(C):
     return C.build_model_config()
 
 
+def eval_repeats(args) -> int:
+    """Reference num_repeats_test=4 in full mode (train_config.py:84-85)."""
+    return max(args.repeats, 4) if args.full else args.repeats
+
+
+def anchor_pair_cap(args) -> int:
+    return args.torch_pairs_full if args.full else args.torch_pairs
+
+
 def quick_train_tid(C, root, args, workdir):
     """Engine training run on TID2013 -> returns (params, cfg)."""
     import jax
@@ -169,6 +207,168 @@ def load_or_train_params(C, root, args, workdir):
                                          seed=args.seed)
         return params, cfg
     return quick_train_tid(C, root, args, workdir)
+
+
+# --------------------------------------------------------------------------
+# dataset factories (ours / reference) for the eval anchors
+# --------------------------------------------------------------------------
+
+def our_dataset(name: str):
+    from vtamiq_tpu.data.datasets import TID2013Dataset, KADID10kDataset
+    return {"tid2013": TID2013Dataset, "kadid10k": KADID10kDataset}[name]()
+
+
+def ref_dataset(name: str, **kwargs):
+    if name == "tid2013":
+        from data.datasets.tid import TID2013Dataset as R
+    else:
+        from data.datasets.kadid10k import KADID10kDataset as R
+    return R(**kwargs)
+
+
+def pair_indices_for_refs(ds, refs, args, cap=None):
+    """Expand ref-image indices -> ref/dist pair indices, optionally capped
+    to a seeded random subset (the torch CPU side runs ~4 s/pair)."""
+    idx = [ds.dist_images_before_image[r] + j
+           for r in refs for j in range(ds.dist_images_per_image[r])]
+    if cap is not None and len(idx) > cap:
+        rng = np.random.default_rng(args.seed)
+        idx = sorted(rng.choice(idx, size=cap, replace=False).tolist())
+    return idx
+
+
+# --------------------------------------------------------------------------
+# framework eval helpers (identical-weights stack comparisons)
+# --------------------------------------------------------------------------
+
+def _our_eval_pairs(params, cfg, C, ds, indices, args, sampler_config=None,
+                    patch_count=512, num_scales=1, repeats=None):
+    """Evaluate pair ``indices`` of our dataset ``ds`` through the full
+    TPU stack; returns the correlations dict."""
+    import jax
+    import jax.numpy as jnp
+    from vtamiq_tpu.data.datasets import dataset_split
+    from vtamiq_tpu.data.pipeline import PatchDatasetLoader
+    from vtamiq_tpu.ops.correlations import compute_correlations_flat
+    from vtamiq_tpu.ops.sampling import PatchSampler
+    from vtamiq_tpu.train.steps import ExtractConfig, make_eval_step
+
+    repeats = repeats if repeats is not None else eval_repeats(args)
+    ds.splits_dict["ParityTest"] = dataset_split("ParityTest", np.asarray(indices))
+    loader = PatchDatasetLoader(ds, "ParityTest", batch_size=8,
+                                patch_count=patch_count, shuffle=False,
+                                seed=args.seed)
+    sampler = PatchSampler(**(sampler_config or
+                              C.dataset_config_base["patch_sampler_config"]))
+    mean, std = ds.get_norm_mean_std()
+    eval_step = make_eval_step(cfg, sampler, ExtractConfig(
+        patch_count=patch_count, patch_dim=16,
+        patch_num_scales=num_scales, scale_num_samples_ratio=2.0,
+        norm_mean=tuple(mean), norm_std=tuple(std)))
+
+    key = jax.random.PRNGKey(args.seed + 7)
+    ys, yps = [], []
+    lw = jnp.asarray((1.0, 1.0, 1.0), jnp.float32)
+    for repeat in range(repeats):
+        for batch in loader:
+            key, sub = jax.random.split(key)
+            _, q_p = eval_step(params, jnp.asarray(batch.imgs_raw),
+                               jnp.asarray(batch.qs), jnp.asarray(batch.valid),
+                               sub, lw)
+            v = batch.valid
+            ys.append(np.asarray(batch.qs[:v], float))
+            yps.append(np.asarray(q_p, float)[:v])
+    return compute_correlations_flat(ys, yps, repeats, warn=None)
+
+
+def _build_ref_eval_dataset(ds_name, indices, patch_count, num_scales):
+    from data.patch_datasets import dataset_split as ref_split
+    ds = ref_dataset(ds_name, patch_count=patch_count, patch_dim=16,
+                     patch_num_scales=num_scales,
+                     patch_sampling_num_scales_ratio=2.0,
+                     use_aligned_patches=1)
+    # drive a custom pair-index split directly (the reference's add_split
+    # expands ref-image indices; we need pair-level control for capping)
+    ds.splits_dict["ParityTest"] = ref_split("ParityTest", list(map(int, indices)))
+    ds.set_split_crt("ParityTest")
+    ds.num_repeats_data = 1
+    return ds
+
+
+def _torch_eval_model(model, ds, indices, args, repeats=None, batch=8):
+    """Evaluate a (prebuilt, possibly trained) torch reference model over
+    pair ``indices`` of reference dataset ``ds``; batched forwards (the
+    per-item loop wastes half the single-core time on framework overhead)."""
+    import torch
+    from vtamiq_tpu.ops.correlations import compute_correlations_flat
+
+    repeats = repeats if repeats is not None else eval_repeats(args)
+    model.eval()
+    ys, yps = [], []
+    with torch.no_grad():
+        for repeat in range(repeats):
+            y_r, yp_r = [], []
+            for start in range(0, len(indices), batch):
+                items = [ds[i] for i in range(start, min(start + batch,
+                                                         len(indices)))]
+                tp = torch.stack([it[1] for it in items])   # (B, 2, N, C, P, P)
+                tu = torch.stack([it[2] for it in items])   # (B, 2, N, 2)
+                scales = (None, None)
+                if torch.is_tensor(items[0][3]) and items[0][3].dim() > 0:
+                    ts = torch.stack([it[3] for it in items])
+                    scales = (ts[:, 0], ts[:, 1])
+                q_p, _ = model((tp[:, 0], tp[:, 1]), (tu[:, 0], tu[:, 1]),
+                               scales)
+                y_r.extend(float(it[0]) for it in items)
+                yp_r.extend(float(x) for x in q_p.reshape(-1))
+            ys.append(np.asarray(y_r))
+            yps.append(np.asarray(yp_r))
+    return compute_correlations_flat(ys, yps, repeats, warn=None)
+
+
+def _torch_eval_pairs(params, cfg, ds_name, indices, args, patch_count=512,
+                      num_scales=1, repeats=None):
+    from torch_bridge import build_reference_model, jax_to_torch
+    model = build_reference_model(cfg)
+    jax_to_torch(params, model, cfg)
+    ds = _build_ref_eval_dataset(ds_name, indices, patch_count, num_scales)
+    return _torch_eval_model(model, ds, indices, args, repeats=repeats)
+
+
+def anchor_eval(params, cfg, C, ds_name, indices, args, patch_count=512,
+                num_scales=1, gate=None, repeats=2):
+    """Identical-weights eval through BOTH stacks -> delta record.
+
+    This is the stack-parity anchor the round-2 VERDICT asked for on
+    configs 3-5: "pass" means the trained checkpoint scores the same data
+    within ``gate`` SROCC/PLCC through the reference's torch pipeline.
+    Repeats default to 2 (not the full-mode 4): the delta is a PAIRED
+    comparison of near-identical prediction sets, so its noise is far below
+    the gate already, and each extra repeat costs ~10 torch-CPU minutes —
+    config 2 carries the full 4-repeat protocol claim."""
+    gate = gate if gate is not None else args.gate
+    t0 = time.time()
+    ours = _our_eval_pairs(params, cfg, C, our_dataset(ds_name), indices,
+                           args, patch_count=patch_count,
+                           num_scales=num_scales, repeats=repeats)
+    t_ours = time.time() - t0
+    t0 = time.time()
+    theirs = _torch_eval_pairs(params, cfg, ds_name, indices, args,
+                               patch_count=patch_count,
+                               num_scales=num_scales, repeats=repeats)
+    t_torch = time.time() - t0
+    d_srocc = abs(ours["SROCC"] - theirs["SROCC"])
+    d_plcc = abs(ours["PLCC"] - theirs["PLCC"])
+    return {
+        "dataset": ds_name, "pairs": len(indices),
+        "repeats": repeats if repeats is not None else eval_repeats(args),
+        "num_scales": num_scales,
+        "ours": {k: ours[k] for k in ("SROCC", "KROCC", "PLCC", "RMSE")},
+        "torch_reference": {k: theirs[k] for k in ("SROCC", "KROCC", "PLCC", "RMSE")},
+        "delta_srocc": d_srocc, "delta_plcc": d_plcc, "gate": gate,
+        "eval_seconds": {"ours": t_ours, "torch": t_torch},
+        "pass": bool(d_srocc <= gate and d_plcc <= gate),
+    }
 
 
 # --------------------------------------------------------------------------
@@ -227,109 +427,38 @@ def run_config1(params, cfg, args):
 # config 2: TID2013 eval parity (full stacks, identical weights)
 # --------------------------------------------------------------------------
 
-def _our_eval_tid(params, cfg, C, indices, args, sampler_config=None,
-                  patch_count=512):
-    import jax
-    import jax.numpy as jnp
-    from vtamiq_tpu.data.datasets import TID2013Dataset, dataset_split
-    from vtamiq_tpu.data.pipeline import PatchDatasetLoader
-    from vtamiq_tpu.ops.correlations import compute_correlations_flat
-    from vtamiq_tpu.ops.sampling import PatchSampler
-    from vtamiq_tpu.train.steps import ExtractConfig, make_eval_step
-
-    ds = TID2013Dataset()
-    ds.splits_dict["ParityTest"] = dataset_split("ParityTest", np.asarray(indices))
-    loader = PatchDatasetLoader(ds, "ParityTest", batch_size=8,
-                                patch_count=patch_count, shuffle=False,
-                                seed=args.seed)
-    sampler = PatchSampler(**(sampler_config or
-                              C.dataset_config_base["patch_sampler_config"]))
-    mean, std = ds.get_norm_mean_std()
-    eval_step = make_eval_step(cfg, sampler, ExtractConfig(
-        patch_count=patch_count, patch_dim=16,
-        norm_mean=tuple(mean), norm_std=tuple(std)))
-
-    key = jax.random.PRNGKey(args.seed + 7)
-    ys, yps = [], []
-    lw = jnp.asarray((1.0, 1.0, 1.0), jnp.float32)
-    for repeat in range(args.repeats):
-        for batch in loader:
-            key, sub = jax.random.split(key)
-            _, q_p = eval_step(params, jnp.asarray(batch.imgs_raw),
-                               jnp.asarray(batch.qs), jnp.asarray(batch.valid),
-                               sub, lw)
-            v = batch.valid
-            ys.append(np.asarray(batch.qs[:v], float))
-            yps.append(np.asarray(q_p, float)[:v])
-    return compute_correlations_flat(ys, yps, args.repeats, warn=None)
-
-
-def _torch_eval_tid(params, cfg, indices, args, patch_count=512):
-    import torch
-    from torch_bridge import build_reference_model, jax_to_torch
-    from vtamiq_tpu.ops.correlations import compute_correlations_flat
-    from data.patch_datasets import dataset_split as ref_split
-    from data.datasets.tid import TID2013Dataset as RefTID
-
-    model = build_reference_model(cfg)
-    jax_to_torch(params, model, cfg)
-
-    ds = RefTID(patch_count=patch_count, patch_dim=16, patch_num_scales=1,
-                use_aligned_patches=1)
-    # drive a custom pair-index split directly (the reference's add_split
-    # expands ref-image indices; we need pair-level control for capping)
-    ds.splits_dict["ParityTest"] = ref_split("ParityTest", list(map(int, indices)))
-    ds.set_split_crt("ParityTest")
-    ds.num_repeats_data = 1
-
-    ys, yps = [], []
-    with torch.no_grad():
-        for repeat in range(args.repeats):
-            y_r, yp_r = [], []
-            for i in range(len(indices)):
-                q, patches, pos, scales = ds[i]
-                tp = patches.unsqueeze(1)  # (2, 1, N, C, P, P) -> index towers
-                q_p, _ = model((tp[0], tp[1]),
-                               (pos[0].unsqueeze(0), pos[1].unsqueeze(0)),
-                               (None, None))
-                y_r.append(float(q))
-                yp_r.append(float(q_p.reshape(())))
-            ys.append(np.asarray(y_r))
-            yps.append(np.asarray(yp_r))
-    return compute_correlations_flat(ys, yps, args.repeats, warn=None)
-
-
 def run_config2(params, cfg, C, args):
-    from vtamiq_tpu.data.datasets import TID2013Dataset
     from vtamiq_tpu.ops.sampling import (
         GRID_TYPE_PERTURBED, DIFF_TYPE_SSIM)
 
-    ds = TID2013Dataset()
+    ds = our_dataset("tid2013")
     test_refs = C.split_config_tid2013[C.SPLIT_NAME_TEST]
-    pair_indices = [ds.dist_images_before_image[r] + j
-                    for r in test_refs for j in range(ds.dist_images_per_image[r])]
-    if not args.full and len(pair_indices) > args.torch_pairs:
-        rng = np.random.default_rng(args.seed)
-        pair_indices = sorted(rng.choice(
-            pair_indices, size=args.torch_pairs, replace=False).tolist())
+    # full mode: the WHOLE test split (~600 pairs), no cap (reference
+    # train.py:912-941 evaluates the full split with num_repeats_test=4)
+    pair_indices = pair_indices_for_refs(
+        ds, test_refs, args, cap=None if args.full else args.torch_pairs)
+    repeats = eval_repeats(args)
 
     t0 = time.time()
-    ours = _our_eval_tid(params, cfg, C, pair_indices, args)
+    ours = _our_eval_pairs(params, cfg, C, ds, pair_indices, args,
+                           repeats=repeats)
     ssim_sampler = dict(diff_weight=1.0, uniform_weight=0.1,
                         grid_type=GRID_TYPE_PERTURBED, diff_type=DIFF_TYPE_SSIM)
-    ours_ssim = _our_eval_tid(params, cfg, C, pair_indices, args,
-                              sampler_config=ssim_sampler)
+    ours_ssim = _our_eval_pairs(params, cfg, C, our_dataset("tid2013"),
+                                pair_indices, args,
+                                sampler_config=ssim_sampler, repeats=repeats)
     t_ours = time.time() - t0
 
     t0 = time.time()
-    theirs = _torch_eval_tid(params, cfg, pair_indices, args)
+    theirs = _torch_eval_pairs(params, cfg, "tid2013", pair_indices, args,
+                               repeats=repeats)
     t_torch = time.time() - t0
 
     d_srocc = abs(ours["SROCC"] - theirs["SROCC"])
     d_plcc = abs(ours["PLCC"] - theirs["PLCC"])
     return {
         "name": "TID2013 test-set eval parity (full stacks, identical weights)",
-        "pairs": len(pair_indices), "repeats": args.repeats,
+        "pairs": len(pair_indices), "repeats": repeats,
         "ours": {k: ours[k] for k in ("SROCC", "KROCC", "PLCC", "RMSE")},
         "ours_caps_ssim": {k: ours_ssim[k] for k in ("SROCC", "KROCC", "PLCC", "RMSE")},
         "torch_reference": {k: theirs[k] for k in ("SROCC", "KROCC", "PLCC", "RMSE")},
@@ -343,7 +472,116 @@ def run_config2(params, cfg, C, args):
 # config 3: KADID-10k training epoch (stratified CAPS + DiffNet)
 # --------------------------------------------------------------------------
 
-def run_config3(root, args, workdir, kinds):
+def _train_dynamics_anchor(C, args, workdir, have_ref):
+    """Both frameworks fine-tune IDENTICAL initial weights for one epoch on
+    the SAME KADID sub-split (2 refs = 250 pairs, 256 patches), then each
+    evaluates its OWN trained weights on a shared val ref. The RNG streams
+    are independent (numpy vs JAX orders, different patch draws), so the
+    gate is wide (--dynamics-gate): this anchors that the two stacks LEARN
+    the same task comparably, not that they match bitwise (that is what the
+    identical-weights anchors are for). Reference pieces driven: torch
+    AdamW (train.py:26-119 defaults), loss_func_iqa (train.py:387-395),
+    clip-grad-norm 1.0 (train.py:317-322), dataset __getitem__ CAPS path."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from torch_bridge import build_reference_model, jax_to_torch
+    from vtamiq_tpu.data.datasets import dataset_split
+    from vtamiq_tpu.data.pipeline import PatchDatasetLoader
+    from vtamiq_tpu.ops.sampling import PatchSampler
+    from vtamiq_tpu.train import engine
+    from vtamiq_tpu.train.optim import make_optimizer, build_freeze_mask
+    from vtamiq_tpu.train.steps import ExtractConfig, make_train_step
+
+    cfg = build_cfg(C)
+    g = C.global_config
+    params0 = engine.get_model_params(cfg, None, seed=args.seed)
+    train_refs, val_refs = [0, 1], [2]
+    patch_count, batch = 256, 8
+
+    ds = our_dataset("kadid10k")
+    train_idx = pair_indices_for_refs(ds, train_refs, args)
+    # 64 val pairs suffice against the wide dynamics gate (0.25)
+    val_idx = pair_indices_for_refs(ds, val_refs, args,
+                                    cap=min(64, anchor_pair_cap(args)))
+
+    # ---- ours: fused train step over the sub-split ----
+    ds.splits_dict["DynTrain"] = dataset_split("DynTrain", np.asarray(train_idx))
+    loader = PatchDatasetLoader(ds, "DynTrain", batch_size=batch,
+                                patch_count=patch_count, shuffle=True,
+                                seed=args.seed)
+    mean, std = ds.get_norm_mean_std()
+    optimizer, _ = make_optimizer(g, max(1, len(loader)))
+    step = make_train_step(
+        cfg, PatchSampler(**C.dataset_config_base["patch_sampler_config"]),
+        ExtractConfig(patch_count=patch_count, patch_dim=16,
+                      norm_mean=tuple(mean), norm_std=tuple(std)),
+        optimizer)
+    params = jax.tree_util.tree_map(jnp.asarray, params0)
+    opt_state = optimizer.init(params)
+    mask = build_freeze_mask(params, False, None)
+    key = jax.random.PRNGKey(args.seed + 11)
+    lw = jnp.asarray((1.0, 1.0, 1.0), jnp.float32)
+    t0 = time.time()
+    for b in loader:
+        key, sub = jax.random.split(key)
+        params, opt_state, _m, _q = step(
+            params, opt_state, mask, jnp.asarray(b.imgs_raw),
+            jnp.asarray(b.qs), jnp.asarray(b.valid), sub, lw)
+    t_ours_train = time.time() - t0
+    ours_val = _our_eval_pairs(params, cfg, C, our_dataset("kadid10k"),
+                               val_idx, args, patch_count=512, repeats=2)
+
+    out = {
+        "train_refs": train_refs, "val_refs": val_refs,
+        "train_pairs": len(train_idx), "val_pairs": len(val_idx),
+        "patch_count": patch_count,
+        "ours": {"val_SROCC": ours_val["SROCC"],
+                 "train_seconds": t_ours_train},
+    }
+    if not have_ref:
+        out["torch_reference"] = "unavailable"
+        out["pass"] = True
+        return out
+
+    # ---- torch: same init, same data, reference optimizer/loss ----
+    import train as ref_train  # the reference's train.py (via reference_shim)
+    model = build_reference_model(cfg)
+    jax_to_torch(params0, model, cfg)
+    model.train()
+    opt = torch.optim.AdamW(model.parameters(),
+                            lr=g["optimizer_learning_rate"],
+                            weight_decay=g["optimizer_weight_decay"])
+    ds_ref = _build_ref_eval_dataset("kadid10k", train_idx, patch_count, 1)
+    order = np.random.default_rng(args.seed).permutation(len(train_idx))
+    t0 = time.time()
+    for start in range(0, len(order), batch):
+        items = [ds_ref[int(i)] for i in order[start:start + batch]]
+        if len(items) < 2:
+            continue
+        y = torch.stack([torch.as_tensor(float(it[0])) for it in items])
+        tp = torch.stack([it[1] for it in items])
+        tu = torch.stack([it[2] for it in items])
+        q_p, _ = model((tp[:, 0], tp[:, 1]), (tu[:, 0], tu[:, 1]), (None, None))
+        loss, _mae, _rank, _pears = ref_train.loss_func_iqa(
+            q_p.reshape(-1), y, len(items), "cpu", 1.0, 1.0, 1.0)
+        opt.zero_grad()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+        opt.step()
+    t_torch_train = time.time() - t0
+    ds_val = _build_ref_eval_dataset("kadid10k", val_idx, 512, 1)
+    torch_val = _torch_eval_model(model, ds_val, val_idx, args, repeats=2)
+    out["torch_reference"] = {"val_SROCC": torch_val["SROCC"],
+                              "train_seconds": t_torch_train}
+    delta = abs(ours_val["SROCC"] - torch_val["SROCC"])
+    out["delta_val_srocc"] = delta
+    out["gate"] = args.dynamics_gate
+    out["pass"] = bool(delta <= args.dynamics_gate)
+    return out
+
+
+def run_config3(root, args, workdir, kinds, have_ref):
     C = fresh_configs()
     from vtamiq_tpu.train import engine
     from vtamiq_tpu.ops.sampling import GRID_TYPE_PERTURBED, DIFF_TYPE_MAGNITUDE
@@ -354,6 +592,7 @@ def run_config3(root, args, workdir, kinds):
     g["seed"] = args.seed
     g["output_dir"] = workdir
     g["is_verbose"] = False
+    g["train_save_latest"] = True
     # stratified (weighted) CAPS, the non-uniform path
     C.dataset_config_base["patch_sampler_config"] = dict(
         diff_weight=1.0, uniform_weight=0.1, grid_type=GRID_TYPE_PERTURBED,
@@ -364,25 +603,98 @@ def run_config3(root, args, workdir, kinds):
         C.split_config_kadid10k[C.SPLIT_NAME_VAL] = list(range(8, 10))
         C.split_config_kadid10k[C.SPLIT_NAME_TEST] = list(range(10, 12))
         C.dataloader_config_vtamiq[C.SPLIT_NAME_TRAIN][C.PATCH_COUNT] = 256
+    val_refs = list(C.split_config_kadid10k[C.SPLIT_NAME_VAL])
     cors = engine.train()
     srocc = float(cors["SROCC"]) if cors else float("nan")
-    return {
+    out = {
         "name": "KADID-10k training epoch (stratified CAPS + DiffNet)",
         "val_SROCC_after_1_epoch": srocc,
-        "pass": bool(np.isfinite(srocc) and srocc > 0.3),
     }
+
+    # identical-weights anchor: the trained checkpoint through BOTH stacks
+    # on the val split (default uniform eval sampler on both sides)
+    anchor = None
+    if have_ref:
+        out_dir = g["output_dir_final"]
+        ckpt = os.path.join(out_dir, "best.npz")
+        if not os.path.isfile(ckpt):
+            ckpt = os.path.join(out_dir, "latest.npz")
+        C2 = fresh_configs()
+        point_frameworks_at(root)
+        cfg = build_cfg(C2)
+        params = engine.get_model_params(cfg, ckpt, force_load_pretrained=True,
+                                         seed=args.seed)
+        ds_probe = our_dataset("kadid10k")
+        val_idx = pair_indices_for_refs(ds_probe, val_refs, args,
+                                        cap=anchor_pair_cap(args))
+        anchor = anchor_eval(params, cfg, C2, "kadid10k", val_idx, args)
+        out["identical_weights_val_eval"] = anchor
+
+    dynamics = None
+    if args.full:
+        C3 = fresh_configs()
+        point_frameworks_at(root)
+        dynamics = _train_dynamics_anchor(C3, args, workdir, have_ref)
+        out["training_dynamics"] = dynamics
+
+    ok = bool(np.isfinite(srocc) and srocc > 0.3)
+    if anchor is not None:
+        ok = ok and anchor["pass"]
+    if dynamics is not None:
+        ok = ok and dynamics["pass"]
+    out["pass"] = ok
+    return out
 
 
 # --------------------------------------------------------------------------
 # config 4: multiscale CAPS run_multi sweep on LIVE
 # --------------------------------------------------------------------------
 
-def run_config4(root, args, workdir):
+def _multiscale_eval_anchor(root, args, workdir):
+    """Train a small 3-scale model on TID (ours), then score the TID test
+    subset through BOTH stacks with identical weights and the SAME 3-scale
+    budget (16/32/64 px at ratio 2.0) — anchors the multiscale pyramid,
+    per-scale budget math, and scale-embedding paths against torch."""
+    C = fresh_configs()
+    point_frameworks_at(root)
+    from vtamiq_tpu.train import engine
+    g = C.global_config
+    g["dataset"] = C.DATASET_TID2013
+    g["do_train"], g["do_val"], g["do_test"] = True, True, False
+    g["num_epochs"] = 1
+    g["seed"] = args.seed
+    g["output_dir"] = workdir
+    g["is_verbose"] = False
+    g["train_save_latest"] = True
+    C.dataset_config_base["patch_num_scales"] = 3
+    C.dataset_config_base["patch_sampling_num_scales_ratio"] = 2.0
+    C.vit_config["num_scales"] = 3
+    C.dataloader_config_vtamiq[C.SPLIT_NAME_TRAIN][C.PATCH_COUNT] = 256
+    engine.train()
+    out_dir = g["output_dir_final"]
+    ckpt = os.path.join(out_dir, "best.npz")
+    if not os.path.isfile(ckpt):
+        ckpt = os.path.join(out_dir, "latest.npz")
+    cfg = build_cfg(C)
+    params = engine.get_model_params(cfg, ckpt, force_load_pretrained=True,
+                                     seed=args.seed)
+    ds = our_dataset("tid2013")
+    test_idx = pair_indices_for_refs(
+        ds, C.split_config_tid2013[C.SPLIT_NAME_TEST], args,
+        cap=anchor_pair_cap(args))
+    # gate 2x: two INDEPENDENT multiscale samplings (per-scale budgets land
+    # on different pyramid levels per draw) add variance single-scale eval
+    # doesn't have; repeats average most of it out
+    return anchor_eval(params, cfg, C, "tid2013", test_idx, args,
+                       num_scales=3, gate=2 * args.gate)
+
+
+def run_config4(root, args, workdir, have_ref):
     """run_multi-style sweep: N random-split train/val/test runs with
-    multiscale CAPS, aggregated stats (run_multi.main hardwires 20 epochs —
-    this inlines the same loop with a parity-sized budget)."""
+    multiscale CAPS, aggregated stats (reference run_multi.py:24-38 runs 20
+    at 20 epochs — full mode here does 10 x 3 epochs, quick 2 x 1)."""
     from vtamiq_tpu.train.run_multi import parse_runs
-    num_runs = 2
+    num_runs = 10 if args.full else 2
     runs = []
     for i in range(num_runs):
         C = fresh_configs()
@@ -392,7 +704,7 @@ def run_config4(root, args, workdir):
         g["dataset"] = C.DATASET_LIVE
         g["do_train"], g["do_val"], g["do_test"] = True, True, True
         g["train_save_latest"] = True
-        g["num_epochs"] = 1 if not args.full else 3
+        g["num_epochs"] = 3 if args.full else 1
         g["seed"] = args.seed + i
         g["output_dir"] = workdir
         g["is_verbose"] = False
@@ -408,9 +720,19 @@ def run_config4(root, args, workdir):
         runs.append(engine.train())
     stats = parse_runs(runs, lambda *a: None)
     out = {"name": "multiscale CAPS (16/32/64 px @ 16:4:1) run_multi sweep on LIVE",
-           "num_runs": num_runs, "stats": stats}
+           "num_runs": num_runs, "epochs_per_run": 3 if args.full else 1,
+           "stats": stats}
     srocc_mean = stats.get("SROCC", {}).get("mean")
-    out["pass"] = bool(srocc_mean is not None and np.isfinite(srocc_mean))
+
+    anchor = None
+    if have_ref:
+        anchor = _multiscale_eval_anchor(root, args, workdir)
+        out["identical_weights_multiscale_eval"] = anchor
+
+    ok = bool(srocc_mean is not None and np.isfinite(srocc_mean))
+    if anchor is not None:
+        ok = ok and anchor["pass"]
+    out["pass"] = ok
     return out
 
 
@@ -418,7 +740,7 @@ def run_config4(root, args, workdir):
 # config 5: PIPAL 5000-patch train + cross-database eval
 # --------------------------------------------------------------------------
 
-def run_config5(root, args, workdir, kinds):
+def run_config5(root, args, workdir, kinds, have_ref):
     results = {"name": "PIPAL 5000-patch train + cross-database eval"}
     patch_count = 5000 if args.full else 2048
 
@@ -440,11 +762,20 @@ def run_config5(root, args, workdir, kinds):
         C.split_config_pipal[C.SPLIT_NAME_TRAIN] = list(range(0, 6))
     C.dataloader_config_vtamiq[C.SPLIT_NAME_TRAIN] = {
         C.BATCH_SIZE: 2, C.PATCH_COUNT: patch_count}
+    t0 = time.time()
     engine.train()
+    results["train_seconds"] = time.time() - t0
     out_dir = g["output_dir_final"]
     ckpt = os.path.join(out_dir, "latest.npz")
     results["train_patch_count"] = patch_count
     results["checkpoint"] = os.path.basename(ckpt)
+    # the reference cannot run this config at all: full quadratic attention
+    # at S = 9 + 5000 tokens materializes (B, 12, 5009, 5009) logits
+    # (~1.2 GB fp32 PER LAYER per tower at batch 1; ~20 GB at batch 16) —
+    # transformer.py:158-164
+    results["torch_reference_5000p_train"] = (
+        "infeasible: reference quadratic attention OOMs at S=5009 "
+        "(transformer.py:158-164); anchored via identical-weights eval below")
 
     # cross-database eval at 512 patches
     cross = {}
@@ -472,8 +803,29 @@ def run_config5(root, args, workdir, kinds):
         cross[ds_name] = {k: float(cors[k]) for k in ("SROCC", "KROCC", "PLCC", "RMSE")} \
             if cors else None
     results["cross_database"] = cross
-    results["pass"] = bool(all(
+
+    # identical-weights anchor: the 5000-patch-trained checkpoint scored on
+    # TID through BOTH stacks at 512 patches — the reference CAN evaluate
+    # (if not train) this model, so the cross-database claim is anchored
+    anchor = None
+    if have_ref:
+        C = fresh_configs()
+        point_frameworks_at(root)
+        cfg = build_cfg(C)
+        params = engine.get_model_params(cfg, ckpt, force_load_pretrained=True,
+                                         seed=args.seed)
+        ds_probe = our_dataset("tid2013")
+        test_idx = pair_indices_for_refs(
+            ds_probe, C.split_config_tid2013[C.SPLIT_NAME_TEST], args,
+            cap=anchor_pair_cap(args))
+        anchor = anchor_eval(params, cfg, C, "tid2013", test_idx, args)
+        results["identical_weights_cross_db_eval"] = anchor
+
+    ok = bool(all(
         v is not None and np.isfinite(v["SROCC"]) for v in cross.values()))
+    if anchor is not None:
+        ok = ok and anchor["pass"]
+    results["pass"] = ok
     return results
 
 
@@ -528,15 +880,18 @@ def main(argv=None):
                 checkpoint_report()
         if 3 in wanted:
             point_frameworks_at(args.root)
-            report["configs"]["3"] = run_config3(args.root, args, workdir, kinds)
+            report["configs"]["3"] = run_config3(args.root, args, workdir,
+                                                 kinds, have_ref)
             checkpoint_report()
         if 4 in wanted:
             point_frameworks_at(args.root)
-            report["configs"]["4"] = run_config4(args.root, args, workdir)
+            report["configs"]["4"] = run_config4(args.root, args, workdir,
+                                                 have_ref)
             checkpoint_report()
         if 5 in wanted:
             point_frameworks_at(args.root)
-            report["configs"]["5"] = run_config5(args.root, args, workdir, kinds)
+            report["configs"]["5"] = run_config5(args.root, args, workdir,
+                                                 kinds, have_ref)
             checkpoint_report()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
