@@ -12,7 +12,10 @@ collective rides ICI neighbor links, overlapping with the per-chunk matmuls.
 
 This is new TPU-native capability with no reference counterpart (the
 reference is single-GPU; SURVEY.md §2.5). Layout matches ops/attention.py:
-q, k, v are (B, S, H, D); mask is (B, S) key validity.
+q, k, v are (B, S, H, D); mask is (B, S) key validity. On TPU each rank
+runs the Pallas flash kernels per chunk (ring-flash — see the section
+comment below); elsewhere an einsum chunk body with the same merge and the
+same hand-derived ring backward.
 
 Usage (inside or outside jit):
 
@@ -72,68 +75,188 @@ def make_seq_mesh(seq: int = -1, data: int = 1, devices=None) -> Mesh:
     return Mesh(grid, (DATA_AXIS, SEQ_AXIS))
 
 
-def _ring_attention_local(q, k, v, mask, *, axis_name: str):
-    """Per-shard ring attention body (runs under shard_map).
+# --------------------------------------------------------------------------
+# ring FLASH attention: Pallas flash blocks inside each rank
+# --------------------------------------------------------------------------
+#
+# A naive per-rank body (round 2's remat-einsum scan) materializes
+# (B, H, S_loc, S_loc) logits per chunk step. For large local shards (e.g.
+# 40k tokens over 8 chips = 5k local) that is the same quadratic wall the
+# flash kernel removes on one chip — so the ring runs the ops.attention
+# Pallas kernels per chunk:
+#
+#   forward: each arriving K/V chunk yields (o_i, lse_i) from the flash
+#     kernel; chunks merge online:  m = max(m, lse_i),
+#     num = num*e^(m_old-m) + o_i*e^(lse_i-m),  den likewise; out = num/den,
+#     global lse = m + log(den).
+#   backward (hand-derived custom VJP): with GLOBAL (out, lse), the
+#     per-chunk probabilities p_ij = exp(q k_j * scale - lse_i) are exactly
+#     the global softmax restricted to the chunk, so the FlashAttention-2
+#     dq/dkv kernels apply per chunk unchanged; (k, v, dk, dv) rotate
+#     together around the ring and arrive home after n steps (the ppermute
+#     transpose IS the reverse ring, written explicitly here).
+#
+# Chunk block sizes must divide S_loc; _chunk_blocks picks the largest
+# 128-multiple divisor (the ViT pads tokens to 128s, so one always exists).
 
-    q, k, v: (B, S_local, H, D) local shards; mask: (B, S_local) local key
-    validity. Rotates (k, v, mask) around ``axis_name`` while accumulating
-    the online softmax for the resident q. Returns (B, S_local, H, D).
-    """
-    n = jax.lax.psum(1, axis_name)
-    b, s_loc, h, d = q.shape
-    scale = 1.0 / math.sqrt(d)
-    orig_dtype = q.dtype
-    perm = [(i, (i + 1) % n) for i in range(n)]
 
-    # remat the per-chunk block: differentiating the scan would otherwise
-    # store every (B, H, S_loc, S_loc) prob block — the same memory/compute
-    # trade as ops/attention.py's blockwise scan body.
-    @jax.checkpoint
-    def block_update(carry_acc, carry_m, carry_l, kb, vb, mb):
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, kb,
-                            preferred_element_type=jnp.float32) * scale
-        logits = jnp.where(mb[:, None, None, :], logits, NEG_INF)
-        m_new = jnp.maximum(carry_m, logits.max(axis=-1))       # (B, H, Sq)
-        p = jnp.exp(logits - m_new[..., None])                  # (B, H, Sq, Sk)
-        correction = jnp.exp(carry_m - m_new)
-        l_new = carry_l * correction + p.sum(axis=-1)
-        pv = jnp.einsum("bhqk,bkhd->bqhd", p.astype(orig_dtype), vb,
-                        preferred_element_type=jnp.float32)
-        acc = carry_acc * correction.transpose(0, 2, 1)[..., None] + pv
-        return acc, m_new, l_new
+def _chunk_blocks(s_loc: int) -> int:
+    for b in (1024, 512, 256, 128):
+        if s_loc % b == 0:
+            return b
+    raise ValueError(f"ring-flash needs S_local % 128 == 0, got {s_loc}")
 
-    def body(carry, _):
-        acc, m_run, l_run, kb, vb, mb = carry
-        acc, m_run, l_run = block_update(acc, m_run, l_run, kb, vb, mb)
-        # rotate K/V/mask to the next rank; the final rotation restores the
-        # original placement (n steps of a cyclic shift are the identity)
-        kb = jax.lax.ppermute(kb, axis_name, perm)
-        vb = jax.lax.ppermute(vb, axis_name, perm)
-        mb = jax.lax.ppermute(mb, axis_name, perm)
-        return (acc, m_run, l_run, kb, vb, mb), None
 
-    acc0 = jnp.zeros((b, s_loc, h, d), jnp.float32)
-    m0 = jnp.full((b, h, s_loc), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((b, h, s_loc), jnp.float32)
-    (acc, m_run, l_run, _, _, _), _ = jax.lax.scan(
-        body, (acc0, m0, l0, k, v, mask.astype(bool)), None, length=n)
-    out = acc / jnp.maximum(l_run, 1e-30).transpose(0, 2, 1)[..., None]
-    return out.astype(orig_dtype)
+def _xla_chunk_forward(qt, kt, vt, kmask, scale):
+    """(B, H, Sq, D) x (B, H, Sk, D) -> (o normalized, lse (B, H, Sq, 1));
+    reference semantics for the flash kernel on CPU/interpret paths."""
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qt, kt,
+                        preferred_element_type=jnp.float32) * scale
+    logits = jnp.where(kmask[:, None, None, :], logits, NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+    o = jnp.einsum("bhqk,bhkd->bhqd", (p / l).astype(vt.dtype), vt,
+                   preferred_element_type=jnp.float32).astype(qt.dtype)
+    return o, (m + jnp.log(l))
+
+
+def _xla_chunk_backward(qt, kt, vt, dot, lse, delta, kmask, scale):
+    """Chunk gradients given GLOBAL lse/delta — the einsum mirror of the
+    Pallas dq/dkv kernels (ops/attention.py)."""
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qt, kt,
+                        preferred_element_type=jnp.float32) * scale
+    logits = jnp.where(kmask[:, None, None, :], logits, NEG_INF)
+    p = jnp.exp(logits - lse)                       # (B, H, Sq, Sk) fp32
+    dp = jnp.einsum("bhqd,bhkd->bhqk", dot, vt,
+                    preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * scale
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds.astype(kt.dtype), kt,
+                    preferred_element_type=jnp.float32)
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds.astype(qt.dtype), qt,
+                    preferred_element_type=jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p.astype(dot.dtype), dot,
+                    preferred_element_type=jnp.float32)
+    return dq, dk, dv
+
+
+def _make_ring_flash_local(axis_name: str, use_pallas: bool):
+    """Build the per-shard ring-flash body with a hand-derived VJP."""
+    from ..ops.attention import _flash_forward, _flash_backward
+
+    @jax.custom_vjp
+    def ring_flash(q, k, v, mask):
+        out, _lse = _ring_flash_fwd_impl(q, k, v, mask)
+        return out
+
+    def _ring_flash_fwd_impl(q, k, v, mask):
+        n = jax.lax.psum(1, axis_name)
+        b, s_loc, h, d = q.shape
+        scale = 1.0 / math.sqrt(d)
+        blk = _chunk_blocks(s_loc) if use_pallas else 0
+        perm = [(i, (i + 1) % n) for i in range(n)]
+        qt = q.transpose(0, 2, 1, 3)                # (B, H, Sq, D)
+
+        def body(carry, _):
+            m, num, den, kc, vc, mc = carry
+            kt = kc.transpose(0, 2, 1, 3)
+            vt = vc.transpose(0, 2, 1, 3)
+            if use_pallas:
+                o_i, lse_i = _flash_forward(qt, kt, vt, mc, blk, blk)
+            else:
+                o_i, lse_i = _xla_chunk_forward(qt, kt, vt, mc, scale)
+            m_new = jnp.maximum(m, lse_i)
+            c_old = jnp.exp(m - m_new)
+            c_i = jnp.exp(lse_i - m_new)
+            num = num * c_old + o_i.astype(jnp.float32) * c_i
+            den = den * c_old + c_i
+            kc = jax.lax.ppermute(kc, axis_name, perm)
+            vc = jax.lax.ppermute(vc, axis_name, perm)
+            mc = jax.lax.ppermute(mc, axis_name, perm)
+            return (m_new, num, den, kc, vc, mc), None
+
+        m0 = jnp.full((b, h, s_loc, 1), NEG_INF, jnp.float32)
+        num0 = jnp.zeros((b, h, s_loc, d), jnp.float32)
+        den0 = jnp.zeros((b, h, s_loc, 1), jnp.float32)
+        (m, num, den, _, _, _), _ = jax.lax.scan(
+            body, (m0, num0, den0, k, v, mask.astype(bool)), None, length=n)
+        out_t = (num / jnp.maximum(den, 1e-30)).astype(q.dtype)
+        lse = m + jnp.log(jnp.maximum(den, 1e-30))  # (B, H, Sq, 1) GLOBAL
+        return out_t.transpose(0, 2, 1, 3), (out_t, lse)
+
+    def fwd_rule(q, k, v, mask):
+        out, (out_t, lse) = _ring_flash_fwd_impl(q, k, v, mask)
+        return out, (q, k, v, mask, out_t, lse)
+
+    def bwd_rule(res, g):
+        q, k, v, mask, out_t, lse = res
+        n = jax.lax.psum(1, axis_name)
+        b, s_loc, h, d = q.shape
+        scale = 1.0 / math.sqrt(d)
+        blk = _chunk_blocks(s_loc) if use_pallas else 0
+        perm = [(i, (i + 1) % n) for i in range(n)]
+        qt = q.transpose(0, 2, 1, 3)
+        dot = g.transpose(0, 2, 1, 3).astype(q.dtype)  # (B, H, Sq, D)
+        delta = jnp.sum(dot.astype(jnp.float32) * out_t.astype(jnp.float32),
+                        axis=-1, keepdims=True)        # (B, H, Sq, 1)
+
+        def body(carry, _):
+            dq_acc, kc, vc, mc, dk_acc, dv_acc = carry
+            kt = kc.transpose(0, 2, 1, 3)
+            vt = vc.transpose(0, 2, 1, 3)
+            if use_pallas:
+                dq_i, dk_i, dv_i = _flash_backward(
+                    qt, kt, vt, dot, out_t, lse, mc, blk, blk)
+            else:
+                dq_i, dk_i, dv_i = _xla_chunk_backward(
+                    qt, kt, vt, dot, lse, delta, mc, scale)
+            dq_acc = dq_acc + dq_i.astype(jnp.float32)
+            dk_acc = dk_acc + dk_i.astype(jnp.float32)
+            dv_acc = dv_acc + dv_i.astype(jnp.float32)
+            # (k, v, mask, dk, dv) travel TOGETHER: after n rotations each
+            # chunk's gradient accumulators arrive back at the home rank
+            # having collected every rank's contribution
+            kc = jax.lax.ppermute(kc, axis_name, perm)
+            vc = jax.lax.ppermute(vc, axis_name, perm)
+            mc = jax.lax.ppermute(mc, axis_name, perm)
+            dk_acc = jax.lax.ppermute(dk_acc, axis_name, perm)
+            dv_acc = jax.lax.ppermute(dv_acc, axis_name, perm)
+            return (dq_acc, kc, vc, mc, dk_acc, dv_acc), None
+
+        z = jnp.zeros((b, h, s_loc, d), jnp.float32)
+        (dq_acc, _, _, _, dk_acc, dv_acc), _ = jax.lax.scan(
+            body, (z, k, v, mask.astype(bool), z, z), None, length=n)
+        dq = dq_acc.transpose(0, 2, 1, 3).astype(q.dtype)
+        dk = dk_acc.transpose(0, 2, 1, 3).astype(k.dtype)
+        dv = dv_acc.transpose(0, 2, 1, 3).astype(v.dtype)
+        return dq, dk, dv, None
+
+    ring_flash.defvjp(fwd_rule, bwd_rule)
+    return ring_flash
 
 
 def make_ring_attention(mesh: Mesh, seq_axis: str = SEQ_AXIS,
-                        batch_axis: Optional[str] = DATA_AXIS):
+                        batch_axis: Optional[str] = DATA_AXIS,
+                        use_flash: Optional[bool] = None):
     """Build ``attn(q, k, v, mask) -> out`` with the token axis sharded over
     ``seq_axis`` (and the batch over ``batch_axis`` when that axis exists in
     the mesh). S must be divisible by the seq-axis size; the ViT already pads
     its token axis to a multiple of 128 (models/vit.py), so any power-of-two
     ring divides it.
+
+    ``use_flash``: run the ops.attention Pallas flash kernels inside each
+    rank (ring-flash) instead of the remat-einsum body — O(S_loc) memory per
+    chunk step instead of (S_loc, S_loc) logits. None auto-selects: Pallas
+    on TPU, the einsum chunk math elsewhere (same merge/backward structure,
+    exercised by the CPU tests).
     """
     if batch_axis is not None and batch_axis not in mesh.axis_names:
         batch_axis = None
     qkv_spec = P(batch_axis, seq_axis, None, None)
     mask_spec = P(batch_axis, seq_axis)
-    local = functools.partial(_ring_attention_local, axis_name=seq_axis)
+    if use_flash is None:
+        use_flash = jax.default_backend() not in ("cpu",)
+    local = _make_ring_flash_local(seq_axis, use_pallas=use_flash)
     sharded = shard_map(local, mesh=mesh,
                         in_specs=(qkv_spec, qkv_spec, qkv_spec, mask_spec),
                         out_specs=qkv_spec)
