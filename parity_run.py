@@ -316,8 +316,12 @@ def _torch_eval_model(model, ds, indices, args, repeats=None, batch=8):
                 scales = (None, None)
                 if torch.is_tensor(items[0][3]) and items[0][3].dim() > 0:
                     ts = torch.stack([it[3] for it in items])
-                    scales = (ts[:, 0], ts[:, 1])
-                q_p, _ = model((tp[:, 0], tp[:, 1]), (tu[:, 0], tu[:, 1]),
+                    # .contiguous(): the reference embeds via .view()
+                    # (transformer.py:531), which rejects the strided
+                    # tower-slice tensors batching produces
+                    scales = (ts[:, 0].contiguous(), ts[:, 1].contiguous())
+                q_p, _ = model((tp[:, 0].contiguous(), tp[:, 1].contiguous()),
+                               (tu[:, 0].contiguous(), tu[:, 1].contiguous()),
                                scales)
                 y_r.extend(float(it[0]) for it in items)
                 yp_r.extend(float(x) for x in q_p.reshape(-1))
@@ -562,7 +566,9 @@ def _train_dynamics_anchor(C, args, workdir, have_ref):
         y = torch.stack([torch.as_tensor(float(it[0])) for it in items])
         tp = torch.stack([it[1] for it in items])
         tu = torch.stack([it[2] for it in items])
-        q_p, _ = model((tp[:, 0], tp[:, 1]), (tu[:, 0], tu[:, 1]), (None, None))
+        q_p, _ = model((tp[:, 0].contiguous(), tp[:, 1].contiguous()),
+                       (tu[:, 0].contiguous(), tu[:, 1].contiguous()),
+                       (None, None))
         loss, _mae, _rank, _pears = ref_train.loss_func_iqa(
             q_p.reshape(-1), y, len(items), "cpu", 1.0, 1.0, 1.0)
         opt.zero_grad()
