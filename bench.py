@@ -174,8 +174,6 @@ def measure_jax():
     # reported as an extra metric (VERDICT r01 item 2)
     train_pairs_per_sec = None
     try:
-        if over_budget("train_5000p", results):
-            raise StopIteration
         import optax
         from vtamiq_tpu.train.steps import make_train_step
         from vtamiq_tpu.train.optim import build_freeze_mask
