@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--mesh-data", type=int, default=1)
     ap.add_argument("--mesh-model", type=int, default=1)
+    ap.add_argument("--mesh-seq", type=int, default=1,
+                    help="sequence-parallel axis: >1 routes attention "
+                         "through the ppermute ring (ring-flash on TPU)")
     ap.add_argument("--seed", type=int, default=-1)
     args = ap.parse_args()
 
@@ -38,6 +41,7 @@ def main():
         seed=args.seed,
         mesh_data=args.mesh_data,
         mesh_model=args.mesh_model,
+        mesh_seq=args.mesh_seq,
         vit_weights_path=args.vit_npz,
     )
     correlations = engine.train()
