@@ -220,6 +220,25 @@ class TestSharding:
         m2, q2 = step(sp, sraw, sqs, jnp.asarray(8), jax.random.PRNGKey(3), LW, shw)
         np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), rtol=2e-4, atol=2e-4)
 
+    def test_seq_parallel_matches_single_device(self):
+        """Sequence-parallel eval (ring attention over a (1, 1, 8) mesh) must
+        reproduce the single-device predictions — the ring is numerically
+        exact, not just finite (round-3 mesh_seq path)."""
+        params = init_vtamiq_params(jax.random.PRNGKey(0), CFG)
+        raw, qs = make_batch(b=2)
+        single = make_eval_step(CFG, PatchSampler(), ECFG, compute_dtype=jnp.float32)
+        m1, q1 = single(params, raw, qs, jnp.asarray(2), jax.random.PRNGKey(5), LW)
+
+        mesh = make_mesh(data=1, model=1, seq=8)
+        wrap = make_eval_step(CFG, PatchSampler(), ECFG,
+                              compute_dtype=jnp.float32, mesh=mesh)
+        step = wrap(params)
+        sp = shard_params(params, mesh)
+        hw = jnp.tile(jnp.asarray([64, 64], jnp.int32)[None], (2, 1))
+        sraw, sqs, shw = shard_batch((raw, qs, hw), mesh)
+        m2, q2 = step(sp, sraw, sqs, jnp.asarray(2), jax.random.PRNGKey(5), LW, shw)
+        np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), rtol=2e-4, atol=2e-4)
+
 
 class TestPUEncoding:
     def test_pu_pipeline_runs_and_differs_from_linear(self):
