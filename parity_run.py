@@ -96,6 +96,9 @@ def parse_args(argv=None):
                         "not bitwise numerics)")
     p.add_argument("--checkpoint", default=None,
                    help="framework checkpoint (.npz) to use instead of quick-training")
+    p.add_argument("--resume-partial", action="store_true",
+                   help="seed the report with completed configs from "
+                        "OUT.partial (crash recovery)")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -499,7 +502,12 @@ def _train_dynamics_anchor(C, args, workdir, have_ref):
 
     cfg = build_cfg(C)
     g = C.global_config
-    params0 = engine.get_model_params(cfg, None, seed=args.seed)
+    # host-side numpy copy: the fused train step DONATES its params, and on
+    # TPU jnp.asarray aliases the original buffers — params0 must survive
+    # for the torch side below (first run died here: "Array has been
+    # deleted"; CPU pre-flights can't catch it, donation is a no-op there)
+    params0 = jax.tree_util.tree_map(
+        np.asarray, engine.get_model_params(cfg, None, seed=args.seed))
     train_refs, val_refs = [0, 1], [2]
     patch_count, batch = 256, 8
 
@@ -860,6 +868,16 @@ def main(argv=None):
         "reference_available": bool(have_ref),
         "configs": {},
     }
+    if args.resume_partial and os.path.isfile(args.out + ".partial"):
+        # carry completed configs from a crashed run (same mode only) so a
+        # rerun with --configs covering the remainder yields a full report
+        with open(args.out + ".partial") as f:
+            prior = json.load(f)
+        if prior.get("mode") == report["mode"]:
+            for k, v in prior.get("configs", {}).items():
+                if int(k) not in wanted:
+                    report["configs"][k] = v
+            report["resumed_from_partial"] = prior.get("generated_at")
 
     def checkpoint_report():
         """Incremental dump: a late-config crash must not lose earlier
