@@ -1,0 +1,161 @@
+"""Hardware load test: variable-size traffic over canonical serving buckets.
+
+Round-3 evidence for the bucketed serving path (vtamiq_tpu/serving.py +
+inference.VTAMIQScorer(size_buckets=...)): mixed-size traffic (>= 6 distinct
+image shapes) must coalesce into a bounded executable set (<= max_buckets
+distinct (H, W) pipelines) with no per-novel-shape compile stalls, and a
+bucket-exact shape must score the same through the bucketed (img_hw-masked)
+path as through the exact-shape path.
+
+Reference counterpart: none (the reference has no serving stack); the
+variable-size behavior being exercised mirrors its free-size dataset handling
+(LIVE/KADIS images arrive at native sizes, data/patch_datasets.py:382-425).
+
+Run detached (CLAUDE.md rule 2 — never kill a TPU process):
+  nohup python tools/serving_loadtest.py > /tmp/serving_loadtest.log 2>&1 &
+
+Writes SERVING_LOADTEST.json at the repo root.
+"""
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+if os.environ.get("VTAMIQ_FORCE_CPU"):  # CPU smoke (sitecustomize force-sets
+    import jax                          # axon; must override pre-first-op)
+    jax.config.update("jax_platforms", "cpu")
+
+# >= 6 distinct true shapes (landscape + portrait mixes, LIVE/KADID-like)
+TRAFFIC_SHAPES = [(384, 512), (360, 480), (320, 448), (512, 384),
+                  (480, 640), (432, 576), (288, 416), (512, 768)]
+MAX_BUCKETS = 3
+MAX_BATCH = 8
+NUM_REQUESTS = int(os.environ.get("LOADTEST_REQUESTS", 160))
+NUM_CLIENTS = 16
+PATCH_COUNT = int(os.environ.get("LOADTEST_PATCHES", 500))
+
+
+def main():
+    from vtamiq_tpu.data.buckets import compute_canonical_buckets
+    from vtamiq_tpu.inference import VTAMIQScorer
+    from vtamiq_tpu.serving import MicroBatcher
+
+    rng = np.random.default_rng(int(time.time()))  # defeat cross-process
+    # execution memoization (CLAUDE.md rule 3): every request distinct
+    out = {"generated_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+           "traffic_shapes": TRAFFIC_SHAPES, "max_buckets": MAX_BUCKETS,
+           "max_batch": MAX_BATCH, "num_requests": NUM_REQUESTS,
+           "num_clients": NUM_CLIENTS, "patch_count": PATCH_COUNT}
+
+    buckets = compute_canonical_buckets(TRAFFIC_SHAPES, max_buckets=MAX_BUCKETS)
+    out["buckets"] = [list(b) for b in buckets]
+    print("buckets:", buckets, flush=True)
+
+    scorer = VTAMIQScorer(patch_count=PATCH_COUNT, size_buckets=buckets, seed=7)
+    batcher = MicroBatcher(scorer, max_batch=MAX_BATCH, max_wait_ms=5.0,
+                           restrict_to_warmed=True).start()
+
+    t0 = time.time()
+    for (h, w) in buckets:
+        t1 = time.time()
+        batcher.warmup(h, w)
+        print(f"warmed {h}x{w} in {time.time() - t1:.1f}s", flush=True)
+    out["warmup_seconds"] = time.time() - t0
+
+    def fresh_pair(shape):
+        h, w = shape
+        ref = rng.random((h, w, 3), dtype=np.float32)
+        dist = np.clip(ref + rng.normal(0, 0.05, ref.shape).astype(np.float32),
+                       0, 1)
+        return ref, dist
+
+    latencies, errors = [], []
+    lock = threading.Lock()
+    it = iter(range(NUM_REQUESTS))
+
+    def client():
+        while True:
+            with lock:
+                i = next(it, None)
+            if i is None:
+                return
+            shape = TRAFFIC_SHAPES[i % len(TRAFFIC_SHAPES)]
+            ref, dist = fresh_pair(shape)
+            t = time.time()
+            try:
+                q = batcher.score(ref, dist, timeout=120.0)
+                dt = time.time() - t
+                with lock:
+                    latencies.append(dt)
+                if not np.isfinite(q):
+                    with lock:
+                        errors.append(f"non-finite q for {shape}")
+            except Exception as e:
+                with lock:
+                    errors.append(f"{shape}: {type(e).__name__}: {e}")
+
+    t0 = time.time()
+    threads = [threading.Thread(target=client) for _ in range(NUM_CLIENTS)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    wall = time.time() - t0
+
+    lat = np.sort(np.asarray(latencies))
+    pipeline_shapes = sorted({(k[1], k[2]) for k in scorer._pipelines})
+    out["results"] = {
+        "completed": len(latencies),
+        "errors": errors[:10],
+        "num_errors": len(errors),
+        "wall_seconds": wall,
+        "throughput_pairs_per_s": len(latencies) / wall if wall else None,
+        "latency_p50_ms": float(lat[len(lat) // 2] * 1e3) if len(lat) else None,
+        "latency_p99_ms": float(lat[int(len(lat) * 0.99)] * 1e3) if len(lat) else None,
+        "latency_max_ms": float(lat[-1] * 1e3) if len(lat) else None,
+        "batcher_stats": dict(batcher.stats),
+        "compiled_pipeline_keys": len(scorer._pipelines),
+        "distinct_pipeline_shapes": [list(s) for s in pipeline_shapes],
+    }
+    batcher.stop()
+
+    # score-path equivalence: a bucket-exact shape through the bucketed
+    # (padded + img_hw-masked) path vs the exact-shape path, same weights
+    # and same RNG stream
+    bh, bw = buckets[0]
+    ref, dist = fresh_pair((bh, bw))
+    exact = VTAMIQScorer(patch_count=PATCH_COUNT, seed=123)
+    exact.params = scorer.params
+    bucketed = VTAMIQScorer(patch_count=PATCH_COUNT, size_buckets=buckets,
+                            seed=123)
+    bucketed.params = scorer.params
+    q_exact = exact.score_pair(ref, dist)
+    q_bucketed = bucketed.score_pair(ref, dist)
+    out["bucket_exact_parity"] = {
+        "shape": [bh, bw], "q_exact": q_exact, "q_bucketed": q_bucketed,
+        "abs_diff": abs(q_exact - q_bucketed),
+        # bf16 matmul accumulation order differs between the hw-masked and
+        # exact pipelines; gate on a relative tolerance
+        "gate": max(1e-2, 2e-2 * abs(q_exact)),
+    }
+    out["bucket_exact_parity"]["pass"] = (
+        out["bucket_exact_parity"]["abs_diff"]
+        <= out["bucket_exact_parity"]["gate"])
+
+    shapes_ok = set(pipeline_shapes) <= set(buckets)
+    out["pass"] = bool(len(errors) == 0 and shapes_ok
+                       and len(pipeline_shapes) <= MAX_BUCKETS
+                       and out["bucket_exact_parity"]["pass"])
+    with open(os.path.join(REPO, "SERVING_LOADTEST.json"), "w") as f:
+        json.dump(out, f, indent=2, default=float)
+    print("RESULT:", json.dumps(out, default=float), flush=True)
+
+
+if __name__ == "__main__":
+    main()
