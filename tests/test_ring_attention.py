@@ -166,3 +166,24 @@ class TestRingFlashPallas:
         # masked keys: zero dk/dv through the whole ring
         assert float(jnp.abs(g1[1][:, 900:]).max()) == 0.0
         assert float(jnp.abs(g1[2][:, 900:]).max()) == 0.0
+
+
+    def test_small_shard_falls_back_to_einsum_body(self, seq_mesh):
+        """use_flash=True with S_local=64 (no 128-aligned block divisor,
+        e.g. the 500-patch config's 512 tokens over seq=8) must take the
+        einsum chunk body instead of failing at trace time (Mosaic needs
+        128-lane blocks) — fwd AND grads still match exact attention."""
+        q, k, v, mask = make_qkvm(jax.random.PRNGKey(3), s=512)
+        attn = make_ring_attention(seq_mesh, use_flash=True)
+        out = attn(q, k, v, mask)  # old code: ValueError at trace
+        ref = reference_attention(q, k, v, mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+        g1 = jax.grad(lambda *a: jnp.sum(attn(*a, mask) ** 2),
+                      argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(
+            lambda *a: jnp.sum(reference_attention(*a, mask) ** 2),
+            argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, rtol=5e-5)

@@ -198,6 +198,41 @@ class TestMicroBatcher:
         finally:
             mb.stop()
 
+    def test_cancel_landing_mid_resolve_does_not_poison_batch(self):
+        """The narrow race: cancel() lands BETWEEN the dispatcher's done()
+        check and set_result. Simulated with a future whose set_result
+        raises InvalidStateError — the sibling future must still resolve
+        and the dispatcher thread must survive."""
+        from concurrent.futures import InvalidStateError
+
+        class MidResolveCancel:
+            done = cancelled = staticmethod(lambda: False)
+
+            def set_result(self, *_):
+                raise InvalidStateError("cancelled mid-resolve")
+
+            def set_exception(self, *_):
+                raise InvalidStateError("cancelled mid-resolve")
+
+        fake = FakeScorer()
+        mb = MicroBatcher(fake, max_batch=4)
+        r, d = make_pair(None, 0.3)
+        from concurrent.futures import Future
+        good = Future()
+        mb._score_group([(r, d, MidResolveCancel()), (r, d, good)])
+        assert good.result(0) == pytest.approx(0.3)
+        assert mb.stats["errors"] == 0
+        # same guard on the error path: a scorer failure plus a
+        # mid-resolve cancel must not escape _score_group
+        class Boom:
+            def score_batch(self, refs, dists):
+                raise RuntimeError("device fault")
+        mb2 = MicroBatcher(Boom(), max_batch=4)
+        bad = Future()
+        mb2._score_group([(r, d, MidResolveCancel()), (r, d, bad)])
+        with pytest.raises(RuntimeError):
+            bad.result(0)
+
 
 def _npz_body(**arrays):
     buf = io.BytesIO()

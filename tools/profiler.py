@@ -218,12 +218,25 @@ def cmd_attention(args):
                                      .astype(jnp.float32))
             return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
         try:
-            float(run(q, k, v))
-            t0 = time.perf_counter()
-            float(run(q, k, v))
-            dt = (time.perf_counter() - t0) / iters
-            # 4*S^2*D*H*B flops fwd
+            # 4*S^2*D*H*B flops fwd; readings past ~2x the v5e bf16 peak
+            # (394 TFLOPS) are memoized replays (CLAUDE.md rules 3/5), as
+            # is re-timing the warmup's exact (program, inputs) — each
+            # timed trial perturbs q so the service must actually execute
             fl = 4 * s * s * d * 12 * b
+            float(run(q, k, v))  # compile + warm
+            dts = []
+            for t in range(1, 4):
+                qt = q * (1 + SALT * t)
+                t0 = time.perf_counter()
+                float(run(qt, k, v))
+                dt = (time.perf_counter() - t0) / iters
+                if fl / dt < 800e12:  # plausible
+                    dts.append(dt)
+            if not dts:
+                print(f"{label}: all trials implausibly fast (memoized?)",
+                      flush=True)
+                continue
+            dt = sorted(dts)[len(dts) // 2]
             print(f"{label}: {dt * 1e3:.2f} ms/call "
                   f"({fl / dt / 1e12:.1f} TFLOPS)", flush=True)
         except Exception as e:
@@ -278,10 +291,23 @@ def cmd_train(args):
                     return acc + sum(jnp.sum(x.astype(jnp.float32)) for x in gs)
                 return jax.lax.fori_loop(0, 5, body, jnp.zeros((), jnp.float32))
             try:
+                # fwd+bwd ~ 3x fwd attention flops; perturb inputs per
+                # trial so the timed runs can't be memoized replays
+                fl = 3 * 4 * s * s * 64 * 12 * (args.batch * 2)
                 float(rung(q, k, v))
-                t0 = time.perf_counter()
-                float(rung(q, k, v))
-                dt = (time.perf_counter() - t0) / 5
+                dts = []
+                for t in range(1, 4):
+                    qt = q * (1 + SALT * t)
+                    t0 = time.perf_counter()
+                    float(rung(qt, k, v))
+                    dt = (time.perf_counter() - t0) / 5
+                    if fl / dt < 800e12:
+                        dts.append(dt)
+                if not dts:
+                    print(f"{label}: all trials implausibly fast "
+                          f"(memoized?)", flush=True)
+                    continue
+                dt = sorted(dts)[len(dts) // 2]
                 print(f"{label}: {dt * 1e3:.1f} ms/grad", flush=True)
             except Exception as e:
                 print(f"{label}: FAILED {type(e).__name__}: {e}", flush=True)

@@ -164,7 +164,7 @@ def mhsa(params, x, num_heads: int, mask: Optional[jnp.ndarray] = None,
     The (B, heads, S, S) logits tensor is the dominant HBM traffic of the
     short-sequence forward; it is stored in the compute dtype (the softmax
     still reduces in fp32 inside the fusion). Measured +10% end-to-end on
-    v5e at 500 patches (tools/profile_experiments2.py). ``logits_fp32``
+    v5e at 500 patches (docs/OPERATIONS.md attention table). ``logits_fp32``
     (ViTConfig.attn_logits_fp32) restores fp32 logits storage; fp32 compute
     always uses fp32 logits, so golden parity vs the torch reference is
     unaffected.

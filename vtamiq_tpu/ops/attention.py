@@ -37,7 +37,8 @@ NEG_INF = -1e30
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 1024  # 5120-token sweep: +30% over (256, 512) — the
 # per-program (BQ, D)x(D, BK) matmuls have K=D=64, so bigger tiles amortize
-# the online-softmax bookkeeping (tools/profile_experiments10.py); larger
+# the online-softmax bookkeeping (`tools/profiler.py attention --sweep`,
+# findings in docs/OPERATIONS.md); larger
 # still OOMs scoped VMEM or loses it again
 
 # patch counts past this use flash attention (below it, XLA's fused full

@@ -42,7 +42,8 @@ def gather_patches(img: jnp.ndarray, topleft: jnp.ndarray, patch_dim: int,
     model-input normalization is applied per gathered tile ((x-mean)/std,
     cast to out_dtype) instead of over the full image — fused for free into
     the Pallas kernel's tile store; the full normalized image is never
-    materialized (+4% fused pipeline on v5e, tools/profile_experiments7.py).
+    materialized (+4% fused pipeline on v5e, docs/OPERATIONS.md;
+    reproduce with `tools/profiler.py stages`).
 
     On TPU, for images within the VMEM budget, this is a Pallas VMEM-
     resident kernel with no per-patch HBM DMA descriptors (gather_kernel.py)
@@ -50,8 +51,8 @@ def gather_patches(img: jnp.ndarray, topleft: jnp.ndarray, patch_dim: int,
     bound: 1.207 ms/pair at 500x16x16, batch 16x2) is the fallback for CPU
     tests and oversized images. (Isolated single-image microbenchmarks rank
     gather strategies the OPPOSITE way of in-context runs — they measure
-    serial dispatch latency, not batched throughput; trust only in-context,
-    tools/profile_experiments4.py.)
+    serial dispatch latency, not batched throughput; trust only in-context
+    runs — `tools/profiler.py extract` / docs/OPERATIONS.md.)
     """
     h, w = img.shape[0], img.shape[1]
     c = img.shape[2]

@@ -3,7 +3,8 @@ dynamic lane rotate per patch.
 
 The XLA dynamic-slice gather (ops/extraction.py) is DMA-descriptor-rate
 bound: 2x500 tiny (16, 16, 3) strided HBM slices per pair cost ~1.2 ms/pair
-on v5e — half the fused 500-patch pipeline (tools/profile_experiments4.py).
+on v5e — half the fused 500-patch pipeline (docs/OPERATIONS.md gather
+table; reproduce with `tools/profiler.py extract`).
 This kernel instead:
 
 1. brings the WHOLE image into VMEM once per grid step (a (384, 512*3) bf16

@@ -97,14 +97,17 @@ def make_seq_mesh(seq: int = -1, data: int = 1, devices=None) -> Mesh:
 #     transpose IS the reverse ring, written explicitly here).
 #
 # Chunk block sizes must divide S_loc; _chunk_blocks picks the largest
-# 128-multiple divisor (the ViT pads tokens to 128s, so one always exists).
+# 128-multiple divisor. The ViT pads its token axis to a 128-multiple, but
+# the PER-RANK shard S/n can still be smaller than or not divisible by 128
+# (e.g. 512 tokens over seq=8 -> 64): those configs fall back to the einsum
+# chunk body (identical math/merge; Mosaic requires 128-lane blocks).
 
 
 def _chunk_blocks(s_loc: int) -> int:
     for b in (1024, 512, 256, 128):
         if s_loc % b == 0:
             return b
-    raise ValueError(f"ring-flash needs S_local % 128 == 0, got {s_loc}")
+    return 0  # no 128-aligned divisor: caller takes the einsum chunk path
 
 
 def _xla_chunk_forward(qt, kt, vt, kmask, scale):
@@ -154,6 +157,7 @@ def _make_ring_flash_local(axis_name: str, use_pallas: bool):
         b, s_loc, h, d = q.shape
         scale = 1.0 / math.sqrt(d)
         blk = _chunk_blocks(s_loc) if use_pallas else 0
+        flash = use_pallas and blk > 0
         perm = [(i, (i + 1) % n) for i in range(n)]
         qt = q.transpose(0, 2, 1, 3)                # (B, H, Sq, D)
 
@@ -161,7 +165,7 @@ def _make_ring_flash_local(axis_name: str, use_pallas: bool):
             m, num, den, kc, vc, mc = carry
             kt = kc.transpose(0, 2, 1, 3)
             vt = vc.transpose(0, 2, 1, 3)
-            if use_pallas:
+            if flash:
                 o_i, lse_i = _flash_forward(qt, kt, vt, mc, blk, blk)
             else:
                 o_i, lse_i = _xla_chunk_forward(qt, kt, vt, mc, scale)
@@ -194,6 +198,7 @@ def _make_ring_flash_local(axis_name: str, use_pallas: bool):
         b, s_loc, h, d = q.shape
         scale = 1.0 / math.sqrt(d)
         blk = _chunk_blocks(s_loc) if use_pallas else 0
+        flash = use_pallas and blk > 0
         perm = [(i, (i + 1) % n) for i in range(n)]
         qt = q.transpose(0, 2, 1, 3)
         dot = g.transpose(0, 2, 1, 3).astype(q.dtype)  # (B, H, Sq, D)
@@ -204,7 +209,7 @@ def _make_ring_flash_local(axis_name: str, use_pallas: bool):
             dq_acc, kc, vc, mc, dk_acc, dv_acc = carry
             kt = kc.transpose(0, 2, 1, 3)
             vt = vc.transpose(0, 2, 1, 3)
-            if use_pallas:
+            if flash:
                 dq_i, dk_i, dv_i = _flash_backward(
                     qt, kt, vt, dot, out_t, lse, mc, blk, blk)
             else:
@@ -248,7 +253,10 @@ def make_ring_attention(mesh: Mesh, seq_axis: str = SEQ_AXIS,
     rank (ring-flash) instead of the remat-einsum body — O(S_loc) memory per
     chunk step instead of (S_loc, S_loc) logits. None auto-selects: Pallas
     on TPU, the einsum chunk math elsewhere (same merge/backward structure,
-    exercised by the CPU tests).
+    exercised by the CPU tests). Shards whose S_local has no 128-aligned
+    block divisor (e.g. 512 tokens over seq=8) take the einsum chunk body
+    even on TPU — Mosaic needs 128-lane blocks; small shards don't need
+    flash memory savings anyway.
     """
     if batch_axis is not None and batch_axis not in mesh.axis_names:
         batch_axis = None

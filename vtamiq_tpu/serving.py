@@ -39,7 +39,7 @@ import json
 import queue
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import Future, InvalidStateError
 from concurrent.futures import TimeoutError as _FuturesTimeout
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional, Sequence, Tuple
@@ -228,18 +228,27 @@ class MicroBatcher:
                 qs = self.scorer.score_batch(refs, dists)
             for (_r, _d, fut), q in zip(group, qs):
                 # per-future guard: a caller-cancelled future must not
-                # poison the rest of the batch (set_result would raise
-                # InvalidStateError and divert to the except branch)
-                if not fut.done() and not fut.cancelled():
-                    fut.set_result(float(q))
+                # poison the rest of the batch. The done() check alone
+                # races with score()'s timeout cancel (cancel can land
+                # between the check and set_result), so the
+                # InvalidStateError is also swallowed per-future.
+                try:
+                    if not fut.done() and not fut.cancelled():
+                        fut.set_result(float(q))
+                except InvalidStateError:
+                    pass  # caller abandoned it mid-resolve
             self.stats["served"] += len(group)
             self.stats["batches"] += 1
             self.stats["padded_slots"] += pad
         except Exception as e:  # surface to every affected caller
             self.stats["errors"] += 1
             for (_r, _d, fut) in group:
-                if not fut.done():
-                    fut.set_exception(e)
+                try:
+                    if not fut.done():
+                        fut.set_exception(e)
+                except InvalidStateError:
+                    pass  # cancelled mid-resolve; an escape here would
+                    # kill the dispatcher thread for every later request
 
 
 # --------------------------------------------------------------------------

@@ -39,11 +39,11 @@ def _mesh_attention_fn(mesh: Optional[Mesh], ecfg: ExtractConfig):
     a sequence-parallel axis (>1), else the Pallas flash kernel past the
     long-sequence threshold, else None (plain fused XLA attention).
 
-    Ring + flash compose: each ring rank holds S/seq tokens and runs the
-    LOCAL block of the online softmax, so the per-rank compute itself uses
-    the same blockwise math; flash-within-ring is a future refinement (the
-    local S/seq blocks are small enough for XLA attention at current
-    budgets)."""
+    Ring + flash compose: each ring rank holds S/seq tokens and, on TPU,
+    runs the Pallas flash kernels per arriving K/V chunk (ring-flash,
+    parallel/ring_attention.py) when the local shard has a 128-aligned
+    block divisor; smaller shards use the einsum chunk body with the same
+    online-softmax merge."""
     if seq_size(mesh) > 1:
         from ..parallel.ring_attention import make_ring_attention_fn
         return make_ring_attention_fn(mesh)
