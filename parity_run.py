@@ -84,6 +84,13 @@ def parse_args(argv=None):
     p.add_argument("--repeats", type=int, default=2,
                    help="eval patch-resampling repeats (quick mode; full "
                         "mode uses the reference's num_repeats_test=4)")
+    p.add_argument("--anchor-repeats", type=int, default=2,
+                   help="patch-resampling repeats for the identical-weights "
+                        "anchors of configs 3-5. At the default 128-pair "
+                        "cap x2, correlation-delta noise is COMPARABLE to "
+                        "the 0.005 gate (config 3 once read dPLCC 0.00529 "
+                        "on identical weights); bump this with "
+                        "--torch-pairs-full to resolve the gate.")
     p.add_argument("--torch-pairs", type=int, default=64,
                    help="cap on reference-side eval pairs (quick mode)")
     p.add_argument("--torch-pairs-full", type=int, default=128,
@@ -349,11 +356,16 @@ def anchor_eval(params, cfg, C, ds_name, indices, args, patch_count=512,
     This is the stack-parity anchor the round-2 VERDICT asked for on
     configs 3-5: "pass" means the trained checkpoint scores the same data
     within ``gate`` SROCC/PLCC through the reference's torch pipeline.
-    Repeats default to 2 (not the full-mode 4): the delta is a PAIRED
-    comparison of near-identical prediction sets, so its noise is far below
-    the gate already, and each extra repeat costs ~10 torch-CPU minutes —
-    config 2 carries the full 4-repeat protocol claim."""
+    Although the comparison is PAIRED (same pairs, same weights), the two
+    stacks draw independent patch samples, so the correlation deltas carry
+    sampling noise that shrinks ~1/sqrt(pairs x repeats): at 128 pairs x 2
+    repeats it is comparable to the 0.005 gate (a measured identical-
+    weights dPLCC of 0.00529 — noise, but a fail). Resolving the gate
+    needs >= 256 pairs x 4 repeats (--torch-pairs-full/--anchor-repeats);
+    each torch repeat costs ~5-10 CPU minutes per 128 pairs."""
     gate = gate if gate is not None else args.gate
+    if repeats == 2:  # call sites that don't pin repeats follow the CLI
+        repeats = getattr(args, "anchor_repeats", 2)
     t0 = time.time()
     ours = _our_eval_pairs(params, cfg, C, our_dataset(ds_name), indices,
                            args, patch_count=patch_count,
