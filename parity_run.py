@@ -715,14 +715,34 @@ def _multiscale_eval_anchor(root, args, workdir):
                        num_scales=3, gate=2 * args.gate)
 
 
-def run_config4(root, args, workdir, have_ref):
+def _release_memory():
+    """Drop jit/compile caches + cycles between heavy in-process runs.
+
+    The full-mode sweep (10 engine.train() runs in one process, each through
+    reloaded config/engine modules) grew host RSS past 125 GB and got
+    OOM-killed on 2026-08-17: every reload strands the previous modules (and
+    whatever jit caches/datasets they reference) until a full collection, and
+    jax's global executable caches pin the rest. Clearing between runs plus
+    per-run partial checkpoints (resume skips completed runs) keeps a crash
+    from losing hours of sweep."""
+    import gc
+    import jax
+    jax.clear_caches()
+    gc.collect()
+
+
+def run_config4(root, args, workdir, have_ref, prior=None, checkpoint_cb=None):
     """run_multi-style sweep: N random-split train/val/test runs with
     multiscale CAPS, aggregated stats (reference run_multi.py:24-38 runs 20
-    at 20 epochs — full mode here does 10 x 3 epochs, quick 2 x 1)."""
+    at 20 epochs — full mode here does 10 x 3 epochs, quick 2 x 1).
+
+    ``prior['partial_runs']`` (from a crashed run's .partial report) seeds
+    the sweep; run i always uses seed ``args.seed + i`` so a resumed sweep
+    is the same experiment."""
     from vtamiq_tpu.train.run_multi import parse_runs
     num_runs = 10 if args.full else 2
-    runs = []
-    for i in range(num_runs):
+    runs = list((prior or {}).get("partial_runs", []))[:num_runs]
+    for i in range(len(runs), num_runs):
         C = fresh_configs()
         point_frameworks_at(root)
         from vtamiq_tpu.train import engine
@@ -744,10 +764,15 @@ def run_config4(root, args, workdir, have_ref):
         if not args.full:
             C.dataloader_config_vtamiq[C.SPLIT_NAME_TRAIN][C.PATCH_COUNT] = 256
         runs.append(engine.train())
+        if checkpoint_cb is not None:
+            checkpoint_cb({"partial_runs": runs})
+        _release_memory()
     stats = parse_runs(runs, lambda *a: None)
     out = {"name": "multiscale CAPS (16/32/64 px @ 16:4:1) run_multi sweep on LIVE",
            "num_runs": num_runs, "epochs_per_run": 3 if args.full else 1,
            "stats": stats}
+    if prior and prior.get("partial_runs"):
+        out["runs_recovered_from_crash"] = len(prior["partial_runs"])
     srocc_mean = stats.get("SROCC", {}).get("mean")
 
     anchor = None
@@ -859,6 +884,24 @@ def run_config5(root, args, workdir, kinds, have_ref):
 # main
 # --------------------------------------------------------------------------
 
+def carry_prior_configs(report, prior, wanted):
+    """Seed ``report`` from a crashed run's .partial (same mode only):
+    completed configs NOT being rerun carry over verbatim, and a wanted
+    config that only holds a resumable mid-sweep ``{"partial_runs": [...]}``
+    entry (no "pass" verdict yet) carries too, so the rerun skips the
+    completed sweep runs instead of redoing hours of training."""
+    if prior.get("mode") != report["mode"]:
+        return
+    for k, v in prior.get("configs", {}).items():
+        carry = int(k) not in wanted
+        if not carry and isinstance(v, dict) and "pass" not in v \
+                and "partial_runs" in v:
+            carry = True
+        if carry:
+            report["configs"][k] = v
+    report["resumed_from_partial"] = prior.get("generated_at")
+
+
 def main(argv=None):
     args = parse_args(argv)
     wanted = [int(x) for x in args.configs.split(",") if x.strip()]
@@ -881,15 +924,9 @@ def main(argv=None):
         "configs": {},
     }
     if args.resume_partial and os.path.isfile(args.out + ".partial"):
-        # carry completed configs from a crashed run (same mode only) so a
-        # rerun with --configs covering the remainder yields a full report
         with open(args.out + ".partial") as f:
             prior = json.load(f)
-        if prior.get("mode") == report["mode"]:
-            for k, v in prior.get("configs", {}).items():
-                if int(k) not in wanted:
-                    report["configs"][k] = v
-            report["resumed_from_partial"] = prior.get("generated_at")
+        carry_prior_configs(report, prior, wanted)
 
     def checkpoint_report():
         """Incremental dump: a late-config crash must not lose earlier
@@ -919,11 +956,21 @@ def main(argv=None):
             report["configs"]["3"] = run_config3(args.root, args, workdir,
                                                  kinds, have_ref)
             checkpoint_report()
+            _release_memory()
         if 4 in wanted:
             point_frameworks_at(args.root)
-            report["configs"]["4"] = run_config4(args.root, args, workdir,
-                                                 have_ref)
+
+            def _cfg4_checkpoint(partial):
+                report["configs"]["4"] = partial
+                checkpoint_report()
+
+            prior4 = report["configs"].get("4")
+            report["configs"]["4"] = run_config4(
+                args.root, args, workdir, have_ref,
+                prior=prior4 if isinstance(prior4, dict) else None,
+                checkpoint_cb=_cfg4_checkpoint)
             checkpoint_report()
+            _release_memory()
         if 5 in wanted:
             point_frameworks_at(args.root)
             report["configs"]["5"] = run_config5(args.root, args, workdir,

@@ -1,0 +1,103 @@
+"""Crash-recovery logic of the parity harness (parity_run + harvest tool).
+
+The full-mode LIVE sweep (parity_run.run_config4: 10 engine.train() runs in
+one process) was OOM-killed on run 10 before any checkpoint fired; these
+cover the machinery added so that never costs hours again: per-run partial
+checkpoints, resume-carry of mid-sweep state, and harvesting completed runs
+from a dead workdir's output.txt files (written by engine.train(),
+vtamiq_tpu/train/engine.py "Test stats:" block).
+"""
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+import parity_run
+from tools import harvest_sweep_runs
+
+
+class TestCarryPriorConfigs:
+    def _report(self):
+        return {"mode": "full", "configs": {}}
+
+    def test_completed_config_not_rerun_carries(self):
+        report = self._report()
+        prior = {"mode": "full", "generated_at": "T",
+                 "configs": {"1": {"pass": True, "x": 1}}}
+        parity_run.carry_prior_configs(report, prior, wanted=[4, 5])
+        assert report["configs"]["1"] == {"pass": True, "x": 1}
+        assert report["resumed_from_partial"] == "T"
+
+    def test_completed_config_being_rerun_is_dropped(self):
+        report = self._report()
+        prior = {"mode": "full",
+                 "configs": {"4": {"pass": False, "stats": {}}}}
+        parity_run.carry_prior_configs(report, prior, wanted=[4])
+        assert "4" not in report["configs"]
+
+    def test_mid_sweep_partial_runs_carry_even_when_wanted(self):
+        report = self._report()
+        runs = [{"SROCC": 0.7, "KROCC": 0.5, "PLCC": 0.7, "RMSE": 0.2}]
+        prior = {"mode": "full", "configs": {"4": {"partial_runs": runs}}}
+        parity_run.carry_prior_configs(report, prior, wanted=[4])
+        assert report["configs"]["4"]["partial_runs"] == runs
+
+    def test_mode_mismatch_carries_nothing(self):
+        report = self._report()
+        prior = {"mode": "quick", "configs": {"1": {"pass": True}}}
+        parity_run.carry_prior_configs(report, prior, wanted=[4])
+        assert report["configs"] == {}
+        assert "resumed_from_partial" not in report
+
+
+class TestHarvest:
+    OUTPUT = ("Beginning epoch 001\n"
+              "Completed epoch 1\n"
+              "Test stats:\n"
+              "SROCC=0.760266370699223\n"
+              "KROCC=0.5610859728506787\n"
+              "PLCC=0.7940458905272133\n"
+              "RMSE=0.19093262546625148\n"
+              "PLCC_NOFIT=0.7166429238050914\n"
+              "RMSE_NOFIT=0.3108804155375697\n")
+
+    def _run_dir(self, tmp_path, name, text):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "output.txt").write_text(text)
+        return d
+
+    def test_parse_complete_run(self, tmp_path):
+        d = self._run_dir(tmp_path, "1-LIVE-run", self.OUTPUT)
+        stats = harvest_sweep_runs.parse_run_dir(str(d))
+        assert stats["SROCC"] == 0.760266370699223
+        assert stats["RMSE_NOFIT"] == 0.3108804155375697
+
+    def test_parse_killed_run_returns_none(self, tmp_path):
+        d = self._run_dir(tmp_path, "2-LIVE-run",
+                          "Beginning epoch 001\n")  # no Test stats block
+        assert harvest_sweep_runs.parse_run_dir(str(d)) is None
+
+    def test_harvest_seeds_partial_report_and_stops_at_killed_run(
+            self, tmp_path, monkeypatch, capsys):
+        self._run_dir(tmp_path, "100-LIVE-a", self.OUTPUT)
+        self._run_dir(tmp_path, "200-LIVE-b",
+                      self.OUTPUT.replace("0.760266370699223", "0.5"))
+        self._run_dir(tmp_path, "300-LIVE-killed", "Beginning epoch 001\n")
+        # a later complete dir after a killed one must NOT be harvested
+        # (run index <-> seed alignment would break)
+        self._run_dir(tmp_path, "400-LIVE-c", self.OUTPUT)
+        report = tmp_path / "r.partial"
+        report.write_text(json.dumps({"mode": "full", "configs": {}}))
+        monkeypatch.setattr(
+            sys, "argv",
+            ["harvest", str(tmp_path), str(report)])
+        harvest_sweep_runs.main()
+        out = json.loads(report.read_text())
+        runs = out["configs"]["4"]["partial_runs"]
+        assert len(runs) == 2
+        assert runs[0]["SROCC"] == 0.760266370699223
+        assert runs[1]["SROCC"] == 0.5
