@@ -16,7 +16,7 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 import parity_run
-from tools import harvest_sweep_runs
+from tools import harvest_sweep_runs, rerun_anchor
 
 
 class TestCarryPriorConfigs:
@@ -51,6 +51,53 @@ class TestCarryPriorConfigs:
         parity_run.carry_prior_configs(report, prior, wanted=[4])
         assert report["configs"] == {}
         assert "resumed_from_partial" not in report
+
+
+class TestParseTrainSrocc:
+    def test_matches_metric_name_not_writer_index(self, tmp_path):
+        # batch>4 runs number the tag 5.SROCC, batch<=4 runs 4.SROCC (no
+        # SROCC_batch_s tag created); both must parse, batch_s must not
+        lines = [
+            {"tag": "Training/4.SROCC_batch_s", "value": 0.9, "step": 10},
+            {"tag": "Training/5.SROCC", "value": 0.25, "step": 1},
+            {"tag": "Training/4.SROCC", "value": 0.5, "step": 2},
+            {"tag": "Validation/11.val-SROCC", "value": 0.7, "step": 1},
+        ]
+        p = tmp_path / "scalars.jsonl"
+        p.write_text("\n".join(json.dumps(x) for x in lines) + "\n")
+        assert parity_run.parse_train_srocc_by_epoch(str(p)) == [0.25, 0.5]
+
+
+class TestRecomputePass:
+    """rerun_anchor.recompute_pass mirrors each run_config*'s own gate."""
+
+    def test_config3_needs_srocc_dynamics_and_anchor(self):
+        entry = {"val_SROCC_after_1_epoch": 0.8,
+                 "training_dynamics": {"pass": True}}
+        assert rerun_anchor.recompute_pass(3, entry, anchor_ok=True)
+        assert not rerun_anchor.recompute_pass(3, entry, anchor_ok=False)
+        entry["training_dynamics"]["pass"] = False
+        assert not rerun_anchor.recompute_pass(3, entry, anchor_ok=True)
+        entry = {"val_SROCC_after_1_epoch": 0.1}  # below the 0.3 floor
+        assert not rerun_anchor.recompute_pass(3, entry, anchor_ok=True)
+
+    def test_config4_needs_finite_sweep_mean_and_anchor(self):
+        entry = {"stats": {"SROCC": {"mean": 0.58}}}
+        assert rerun_anchor.recompute_pass(4, entry, anchor_ok=True)
+        assert not rerun_anchor.recompute_pass(4, entry, anchor_ok=False)
+        entry = {"stats": {"SROCC": {"mean": float("nan")}}}
+        assert not rerun_anchor.recompute_pass(4, entry, anchor_ok=True)
+
+    def test_config5_needs_cross_db_learning_and_anchor(self):
+        entry = {"cross_database": {"TID2013": {"SROCC": 0.4}},
+                 "train_SROCC_by_epoch": [0.1, 0.45, 0.62]}
+        assert rerun_anchor.recompute_pass(5, entry, anchor_ok=True)
+        assert not rerun_anchor.recompute_pass(5, entry, anchor_ok=False)
+        entry["train_SROCC_by_epoch"][-1] = 0.2  # did not learn
+        assert not rerun_anchor.recompute_pass(5, entry, anchor_ok=True)
+        entry["train_SROCC_by_epoch"][-1] = 0.62
+        entry["cross_database"]["TID2013"]["SROCC"] = float("nan")
+        assert not rerun_anchor.recompute_pass(5, entry, anchor_ok=True)
 
 
 class TestHarvest:
