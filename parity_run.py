@@ -252,9 +252,12 @@ def pair_indices_for_refs(ds, refs, args, cap=None):
 # --------------------------------------------------------------------------
 
 def _our_eval_pairs(params, cfg, C, ds, indices, args, sampler_config=None,
-                    patch_count=512, num_scales=1, repeats=None):
+                    patch_count=512, num_scales=1, repeats=None,
+                    return_raw=False):
     """Evaluate pair ``indices`` of our dataset ``ds`` through the full
-    TPU stack; returns the correlations dict."""
+    TPU stack; returns the correlations dict (``return_raw=True`` also
+    returns the repeat-major flat label/prediction arrays for
+    jackknife noise-floor estimation)."""
     import jax
     import jax.numpy as jnp
     from vtamiq_tpu.data.datasets import dataset_split
@@ -288,7 +291,10 @@ def _our_eval_pairs(params, cfg, C, ds, indices, args, sampler_config=None,
             v = batch.valid
             ys.append(np.asarray(batch.qs[:v], float))
             yps.append(np.asarray(q_p, float)[:v])
-    return compute_correlations_flat(ys, yps, repeats, warn=None)
+    corr = compute_correlations_flat(ys, yps, repeats, warn=None)
+    if return_raw:
+        return corr, np.concatenate(ys), np.concatenate(yps)
+    return corr
 
 
 def _build_ref_eval_dataset(ds_name, indices, patch_count, num_scales):
@@ -305,7 +311,8 @@ def _build_ref_eval_dataset(ds_name, indices, patch_count, num_scales):
     return ds
 
 
-def _torch_eval_model(model, ds, indices, args, repeats=None, batch=8):
+def _torch_eval_model(model, ds, indices, args, repeats=None, batch=8,
+                      return_raw=False):
     """Evaluate a (prebuilt, possibly trained) torch reference model over
     pair ``indices`` of reference dataset ``ds``; batched forwards (the
     per-item loop wastes half the single-core time on framework overhead)."""
@@ -337,16 +344,80 @@ def _torch_eval_model(model, ds, indices, args, repeats=None, batch=8):
                 yp_r.extend(float(x) for x in q_p.reshape(-1))
             ys.append(np.asarray(y_r))
             yps.append(np.asarray(yp_r))
-    return compute_correlations_flat(ys, yps, repeats, warn=None)
+    corr = compute_correlations_flat(ys, yps, repeats, warn=None)
+    if return_raw:
+        return corr, np.concatenate(ys), np.concatenate(yps)
+    return corr
 
 
 def _torch_eval_pairs(params, cfg, ds_name, indices, args, patch_count=512,
-                      num_scales=1, repeats=None):
+                      num_scales=1, repeats=None, return_raw=False):
     from torch_bridge import build_reference_model, jax_to_torch
     model = build_reference_model(cfg)
     jax_to_torch(params, model, cfg)
     ds = _build_ref_eval_dataset(ds_name, indices, patch_count, num_scales)
-    return _torch_eval_model(model, ds, indices, args, repeats=repeats)
+    return _torch_eval_model(model, ds, indices, args, repeats=repeats,
+                             return_raw=return_raw)
+
+
+def _jackknife_se(ys_flat, yp_flat, repeats):
+    """Leave-one-repeat-out jackknife standard errors of the anchored
+    metrics.
+
+    Each eval repeat draws independent patches, so the repeat-averaged
+    prediction vector (and every metric of it) is a sample statistic with
+    estimable uncertainty: drop repeat r, average predictions over the
+    remaining R-1 repeats, recompute the metric; the jackknife SE is
+    sqrt((R-1)/R * sum((x_r - mean)^2)). This is what lets anchor_eval
+    tell "the two stacks disagree" apart from "the metric itself cannot
+    be measured to the gate at this budget" — in particular the
+    4-parameter logistic fit (reference correlations.py:104-126) is
+    chaotic on weakly-trained checkpoints and can have a noise floor
+    several times the raw Pearson's."""
+    ys = np.asarray(ys_flat, float).reshape(repeats, -1)
+    yp = np.asarray(yp_flat, float).reshape(repeats, -1)
+    if repeats < 2:
+        return None
+    from vtamiq_tpu.ops.correlations import compute_correlations
+    vals = {}
+    for r in range(repeats):
+        keep = [i for i in range(repeats) if i != r]
+        corr = compute_correlations(ys[0], yp[keep].mean(axis=0), warn=None)
+        for k, v in corr.items():
+            vals.setdefault(k, []).append(v)
+    out = {}
+    for k, xs in vals.items():
+        xs = np.asarray(xs, float)
+        out[k] = float(np.sqrt((repeats - 1) / repeats
+                               * np.sum((xs - xs.mean()) ** 2)))
+    return out
+
+
+def pearson_gate_decision(d_plcc, d_plcc_nofit, se_delta, gate, fit_free):
+    """Pick the Pearson gate metric for an anchor comparison.
+
+    Returns ``(gate_metric, note)`` where gate_metric is "PLCC" (the
+    4-parameter-logistic-fitted Pearson, the default) or "PLCC_NOFIT".
+    The fit-free fallback fires either forced (``fit_free=True``) or
+    automatically when the measured jackknife noise floors show the
+    fitted metric cannot resolve the gate while the raw Pearson can AND
+    passes — see anchor_eval's docstring for the statistical argument."""
+    if fit_free:
+        return "PLCC_NOFIT", (
+            "fit-free Pearson gate (forced): the logistic fit is "
+            "ill-conditioned on this quick-trained checkpoint's "
+            "near-random predictions (see anchor_eval docstring)")
+    if (se_delta is not None and d_plcc > gate
+            and se_delta.get("PLCC", 0.0) > gate
+            and d_plcc_nofit <= gate
+            and se_delta.get("PLCC_NOFIT", np.inf) <= gate):
+        return "PLCC_NOFIT", (
+            "fit-free Pearson gate (auto): the fitted-PLCC jackknife "
+            f"noise floor {se_delta['PLCC']:.4f} exceeds the gate "
+            f"{gate} at this budget, so the fitted delta "
+            f"{d_plcc:.4f} is unresolvable; the raw Pearson resolves "
+            f"(floor {se_delta['PLCC_NOFIT']:.4f}) and passes")
+    return "PLCC", None
 
 
 def anchor_eval(params, cfg, C, ds_name, indices, args, patch_count=512,
@@ -373,25 +444,49 @@ def anchor_eval(params, cfg, C, ds_name, indices, args, patch_count=512,
     differences swing fitted PLCC by ~0.1 while SROCC/PLCC_NOFIT move by
     ~0.005 — the fit's instability, not a stack mismatch, dominates the
     delta. Config 5's measured example: dSROCC 0.0074 / dPLCC_fitted 0.089
-    on identical weights."""
+    on identical weights.
+
+    The fallback is also applied AUTOMATICALLY, from measurement rather
+    than per-config judgment: both stacks' per-repeat predictions are
+    jackknifed (leave-one-repeat-out, see ``_jackknife_se``) to estimate
+    each metric's standard error at this budget. If the fitted-PLCC delta
+    exceeds the gate but its combined noise floor
+    ``sqrt(se_ours^2 + se_torch^2)`` ALSO exceeds the gate — i.e. the
+    fitted metric cannot resolve the gate at this budget — while the raw
+    Pearson both passes the gate and has a noise floor below it, the
+    Pearson leg is gated on PLCC_NOFIT and the measured SEs are recorded.
+    A genuine stack mismatch cannot hide behind this rule: it would move
+    PLCC_NOFIT (and SROCC) too, which stay gated at full strength."""
     gate = gate if gate is not None else args.gate
     if repeats == 2:  # call sites that don't pin repeats follow the CLI
         repeats = getattr(args, "anchor_repeats", 2)
     t0 = time.time()
-    ours = _our_eval_pairs(params, cfg, C, our_dataset(ds_name), indices,
-                           args, patch_count=patch_count,
-                           num_scales=num_scales, repeats=repeats)
+    ours, ys_o, yp_o = _our_eval_pairs(
+        params, cfg, C, our_dataset(ds_name), indices, args,
+        patch_count=patch_count, num_scales=num_scales, repeats=repeats,
+        return_raw=True)
     t_ours = time.time() - t0
     t0 = time.time()
-    theirs = _torch_eval_pairs(params, cfg, ds_name, indices, args,
-                               patch_count=patch_count,
-                               num_scales=num_scales, repeats=repeats)
+    theirs, ys_t, yp_t = _torch_eval_pairs(
+        params, cfg, ds_name, indices, args, patch_count=patch_count,
+        num_scales=num_scales, repeats=repeats, return_raw=True)
     t_torch = time.time() - t0
     d_srocc = abs(ours["SROCC"] - theirs["SROCC"])
     d_plcc = abs(ours["PLCC"] - theirs["PLCC"])
     d_plcc_nofit = abs(ours["PLCC_NOFIT"] - theirs["PLCC_NOFIT"])
     fields = ("SROCC", "KROCC", "PLCC", "RMSE", "PLCC_NOFIT")
-    d_plcc_gated = d_plcc_nofit if fit_free else d_plcc
+
+    se_o = _jackknife_se(ys_o, yp_o, repeats)
+    se_t = _jackknife_se(ys_t, yp_t, repeats)
+    se_delta = None
+    if se_o is not None and se_t is not None:
+        se_delta = {k: float(np.hypot(se_o[k], se_t[k]))
+                    for k in se_o if k in se_t}
+
+    gate_metric, note = pearson_gate_decision(d_plcc, d_plcc_nofit,
+                                              se_delta, gate, fit_free)
+    d_plcc_gated = d_plcc_nofit if gate_metric == "PLCC_NOFIT" else d_plcc
+
     out = {
         "dataset": ds_name, "pairs": len(indices),
         "repeats": repeats if repeats is not None else eval_repeats(args),
@@ -400,14 +495,14 @@ def anchor_eval(params, cfg, C, ds_name, indices, args, patch_count=512,
         "torch_reference": {k: theirs[k] for k in fields},
         "delta_srocc": d_srocc, "delta_plcc": d_plcc,
         "delta_plcc_nofit": d_plcc_nofit, "gate": gate,
+        "jackknife_se": ({"ours": se_o, "torch": se_t, "delta": se_delta}
+                         if se_delta is not None else None),
         "eval_seconds": {"ours": t_ours, "torch": t_torch},
         "pass": bool(d_srocc <= gate and d_plcc_gated <= gate),
     }
-    if fit_free:
+    if gate_metric == "PLCC_NOFIT":
         out["plcc_gate_metric"] = "PLCC_NOFIT"
-        out["note"] = ("fit-free Pearson gate: the logistic fit is "
-                       "ill-conditioned on this quick-trained checkpoint's "
-                       "near-random predictions (see anchor_eval docstring)")
+        out["note"] = note
     return out
 
 

@@ -100,6 +100,86 @@ class TestRecomputePass:
         assert not rerun_anchor.recompute_pass(5, entry, anchor_ok=True)
 
 
+class TestFitNoiseFloor:
+    """Jackknife SEs + the automatic fit-free Pearson fallback.
+
+    Config 3's measured failure mode: identical-weights anchors where
+    dSROCC ~ 1e-4 and raw-Pearson delta passes, but the 4-parameter
+    logistic fit amplifies the tiny prediction differences past the gate
+    (dPLCC_fitted 0.0084 vs gate 0.005 at 256 pairs x 4 repeats). The
+    fallback must fire only when the fit measurably cannot resolve the
+    gate — never to mask a genuine stack mismatch."""
+
+    def test_jackknife_zero_for_identical_repeats(self):
+        rng = __import__("numpy").random.default_rng(0)
+        import numpy as np
+        ys1 = rng.uniform(size=50)
+        yp1 = ys1 + rng.normal(scale=0.05, size=50)
+        ys = np.tile(ys1, 4)
+        yp = np.tile(yp1, 4)
+        se = parity_run._jackknife_se(ys, yp, 4)
+        for k in ("SROCC", "PLCC", "PLCC_NOFIT"):
+            assert se[k] == 0.0
+
+    def test_jackknife_positive_for_noisy_repeats_and_none_for_single(self):
+        import numpy as np
+        rng = np.random.default_rng(1)
+        ys1 = rng.uniform(size=50)
+        ys = np.tile(ys1, 4)
+        yp = np.concatenate([ys1 + rng.normal(scale=0.1, size=50)
+                             for _ in range(4)])
+        se = parity_run._jackknife_se(ys, yp, 4)
+        assert se["PLCC_NOFIT"] > 0.0
+        assert se["SROCC"] > 0.0
+        assert parity_run._jackknife_se(ys1, yp[:50], 1) is None
+
+    def test_forced_fit_free(self):
+        metric, note = parity_run.pearson_gate_decision(
+            0.09, 0.002, None, 0.005, fit_free=True)
+        assert metric == "PLCC_NOFIT" and "forced" in note
+
+    def test_auto_fallback_when_fit_cannot_resolve_gate(self):
+        # config 3's measured shape: fitted delta AND fitted noise floor
+        # above the gate, raw Pearson resolves and passes
+        se = {"PLCC": 0.012, "PLCC_NOFIT": 0.0015}
+        metric, note = parity_run.pearson_gate_decision(
+            0.0084, 0.0021, se, 0.005, fit_free=False)
+        assert metric == "PLCC_NOFIT" and "auto" in note
+
+    def test_no_fallback_when_fit_resolves(self):
+        # fitted delta above gate but the fit's noise floor is BELOW the
+        # gate: that is a real disagreement, not fit chaos — must fail
+        se = {"PLCC": 0.001, "PLCC_NOFIT": 0.001}
+        metric, note = parity_run.pearson_gate_decision(
+            0.0084, 0.0021, se, 0.005, fit_free=False)
+        assert metric == "PLCC" and note is None
+
+    def test_no_fallback_when_raw_pearson_also_fails(self):
+        se = {"PLCC": 0.012, "PLCC_NOFIT": 0.0015}
+        metric, _ = parity_run.pearson_gate_decision(
+            0.02, 0.0095, se, 0.005, fit_free=False)
+        assert metric == "PLCC"
+
+    def test_no_fallback_when_raw_pearson_floor_too_noisy(self):
+        # if even PLCC_NOFIT can't resolve the gate the budget is simply
+        # insufficient; don't quietly gate on an unresolvable metric
+        se = {"PLCC": 0.012, "PLCC_NOFIT": 0.011}
+        metric, _ = parity_run.pearson_gate_decision(
+            0.0084, 0.0021, se, 0.005, fit_free=False)
+        assert metric == "PLCC"
+
+    def test_no_fallback_without_jackknife(self):
+        metric, _ = parity_run.pearson_gate_decision(
+            0.0084, 0.0021, None, 0.005, fit_free=False)
+        assert metric == "PLCC"
+
+    def test_fitted_delta_within_gate_keeps_default(self):
+        se = {"PLCC": 0.012, "PLCC_NOFIT": 0.0015}
+        metric, _ = parity_run.pearson_gate_decision(
+            0.003, 0.001, se, 0.005, fit_free=False)
+        assert metric == "PLCC"
+
+
 class TestHarvest:
     OUTPUT = ("Beginning epoch 001\n"
               "Completed epoch 1\n"
