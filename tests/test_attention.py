@@ -125,6 +125,28 @@ class TestFlashAttention:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-4, atol=5e-4)
 
+    def test_pallas_backward_distinct_bwd_blocks(self):
+        """bwd_block_q/bwd_block_k tile the backward independently of the
+        forward (incl. a bwd block LARGER than the fwd one, which drives
+        the padding) — gradients must match exact autodiff regardless."""
+        from jax.experimental.pallas import tpu as pltpu
+        q, k, v = make_qkv(b=1, s=192, h=2, d=32, seed=11)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, block_q=64, block_k=128,
+                                           bwd_block_q=128, bwd_block_k=256,
+                                           use_pallas=True) ** 2)
+
+        def loss_exact(q, k, v):
+            return jnp.sum(exact_attention(q, k, v) ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_exact, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-4)
+
     def test_pallas_backward_masked_and_padded(self):
         """Key mask + non-divisible S (internal padding): pad/masked keys
         get ZERO gradient and real grads match exact autodiff."""

@@ -313,6 +313,128 @@ def cmd_train(args):
                 print(f"{label}: FAILED {type(e).__name__}: {e}", flush=True)
 
 
+def cmd_tune5000(args):
+    """Two-stage 5000-patch TRAIN tuning (round-3 perf pass).
+
+    Stage 1: grad-of-flash-attention at S≈5120 over backward block pairs
+    (the fwd optimum (512, 1024) was tuned for the forward's VMEM shape;
+    the backward holds q/k/v/do tiles + two fp32 (BQ, BK) intermediates).
+    Stage 2: full fused train-step rate over batch x remat with the best
+    backward blocks monkeypatched into the module defaults.
+    """
+    import dataclasses
+    import optax
+    from vtamiq_tpu.ops import attention as attn_mod
+    from vtamiq_tpu.train.steps import make_train_step
+    from vtamiq_tpu.train.optim import build_freeze_mask
+
+    b, d, h = 4, 64, 12
+    s = ((args.patches + 9 + 127) // 128) * 128
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(SEED), 3)
+    q = jax.random.normal(kq, (b, s, h, d), jnp.bfloat16)
+    k = jax.random.normal(kk, (b, s, h, d), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, s, h, d), jnp.bfloat16)
+    print(f"stage 1: attention grad, B={b} S={s} H={h} D={d} bf16", flush=True)
+
+    fl = 3 * 4 * s * s * d * h * b  # fwd+bwd ~ 3x fwd attention flops
+    best = (None, float("inf"))
+    pairs = [(512, 1024), (512, 512), (256, 1024), (1024, 512),
+             (1024, 1024), (256, 512), (512, 2048), (2048, 512)]
+    for bq, bk in pairs:
+        if s % bq or s % bk:
+            continue
+
+        def loss(q, k, v, bq=bq, bk=bk):
+            return jnp.sum(flash_attention(
+                q, k, v, block_q=512, block_k=1024, bwd_block_q=bq,
+                bwd_block_k=bk, use_pallas=True).astype(jnp.float32) ** 2)
+        g = jax.grad(loss, argnums=(0, 1, 2))
+
+        @jax.jit
+        def rung(q, k, v, g=g):
+            def body(i, acc):
+                gs = g(q * (1 + SALT * i), k, v)
+                return acc + sum(jnp.sum(x.astype(jnp.float32)) for x in gs)
+            return jax.lax.fori_loop(0, 5, body, jnp.zeros((), jnp.float32))
+        try:
+            float(rung(q, k, v))
+            dts = []
+            for t in range(1, 4):
+                qt = q * (1 + SALT * t)
+                t0 = time.perf_counter()
+                float(rung(qt, k, v))
+                dt = (time.perf_counter() - t0) / 5
+                if fl / dt < 800e12:
+                    dts.append(dt)
+            if not dts:
+                print(f"bwd-bq{bq}-bk{bk}: implausibly fast (memoized?)",
+                      flush=True)
+                continue
+            dt = sorted(dts)[len(dts) // 2]
+            print(f"bwd-bq{bq}-bk{bk}: {dt * 1e3:.1f} ms/grad", flush=True)
+            if dt < best[1]:
+                best = ((bq, bk), dt)
+        except Exception as e:
+            print(f"bwd-bq{bq}-bk{bk}: FAILED {type(e).__name__}: {e}",
+                  flush=True)
+    if best[0] is None:
+        print("stage 1 produced no plausible readings; aborting", flush=True)
+        return
+    print(f"best bwd blocks: {best[0]} ({best[1] * 1e3:.1f} ms)", flush=True)
+    attn_mod.DEFAULT_BWD_BLOCK_Q, attn_mod.DEFAULT_BWD_BLOCK_K = best[0]
+
+    print(f"stage 2: fused train step at {args.patches}p, batch x remat",
+          flush=True)
+    ecfg = ExtractConfig(patch_count=args.patches, patch_dim=16,
+                         norm_mean=(0.5 + SALT, 0.5, 0.5))
+    sampler = PatchSampler()
+    optimizer = optax.adamw(5e-5, weight_decay=0.01)
+    for batch in (2, 4, 8):
+        for remat in (False, True):
+            cfg = VTAMIQConfig(vit=dataclasses.replace(
+                get_vit_config(num_keep_layers=args.layers,
+                               num_extra_tokens=8), remat=remat))
+            try:
+                params = init_vtamiq_params(jax.random.PRNGKey(0), cfg)
+                opt_state = optimizer.init(params)
+                fmask = build_freeze_mask(params, False, None)
+                step = make_train_step(cfg, sampler, ecfg, optimizer)
+                raw, key = fresh_raw(batch)
+                rng = np.random.default_rng(SEED)
+                qs = jnp.asarray(rng.uniform(0, 1, (batch,)), jnp.float32)
+                lw = jnp.asarray((1.0, 1.0, 1.0), jnp.float32)
+
+                def run_steps(t, n=3):
+                    nonlocal params, opt_state
+                    for i in range(n):
+                        params, opt_state, metrics, _ = step(
+                            params, opt_state, fmask, raw, qs,
+                            jnp.asarray(batch),
+                            jax.random.fold_in(key, 31 * t + i), lw)
+                    return float(metrics["loss"])
+
+                run_steps(0, 1)  # compile
+                dts = []
+                for t in range(1, 4):
+                    t0 = time.perf_counter()
+                    run_steps(t)
+                    dt = time.perf_counter() - t0
+                    if 3 * batch / dt < 100.0:  # > 100 pairs/s is implausible
+                        dts.append(dt)
+                if not dts:
+                    print(f"b{batch} remat={remat}: implausibly fast",
+                          flush=True)
+                    continue
+                dt = sorted(dts)[len(dts) // 2]
+                print(f"b{batch} remat={remat}: "
+                      f"{3 * batch / dt:.2f} pairs/s", flush=True)
+            except Exception as e:
+                print(f"b{batch} remat={remat}: FAILED "
+                      f"{type(e).__name__}: {e}", flush=True)
+            finally:
+                jax.clear_caches()
+
+
 def cmd_configs(args):
     for patches, batch, weighted, label in [
             (500, 16, False, "500p-uniform"),
@@ -327,7 +449,7 @@ def cmd_configs(args):
 def main():
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("cmd", choices=["stages", "extract", "attention", "train",
-                                   "configs"])
+                                   "configs", "tune5000"])
     p.add_argument("--patches", type=int, default=500)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--layers", type=int, default=6)
@@ -343,7 +465,8 @@ def main():
     args = p.parse_args()
     print(f"device: {jax.devices()[0]}  seed: {SEED}", flush=True)
     {"stages": cmd_stages, "extract": cmd_extract, "attention": cmd_attention,
-     "train": cmd_train, "configs": cmd_configs}[args.cmd](args)
+     "train": cmd_train, "configs": cmd_configs,
+     "tune5000": cmd_tune5000}[args.cmd](args)
 
 
 if __name__ == "__main__":

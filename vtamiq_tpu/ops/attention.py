@@ -41,6 +41,12 @@ DEFAULT_BLOCK_K = 1024  # 5120-token sweep: +30% over (256, 512) — the
 # findings in docs/OPERATIONS.md); larger
 # still OOMs scoped VMEM or loses it again
 
+# backward kernels tile independently (they hold ~3x the forward's VMEM per
+# program: q/k/v/do tiles + two fp32 (BQ, BK) intermediates + dk/dv scratch).
+# None = inherit the forward blocks; tuned via `tools/profiler.py tune5000`.
+DEFAULT_BWD_BLOCK_Q = None
+DEFAULT_BWD_BLOCK_K = None
+
 # patch counts past this use flash attention (below it, XLA's fused full
 # attention is faster and the quadratic logits easily fit)
 FLASH_ATTENTION_THRESHOLD = 2048
@@ -344,18 +350,22 @@ def _pad_seq(x, pad):
     return jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0))) if pad else x
 
 
-def _seq_padding(s, block_q, block_k):
-    blk = max(block_q, block_k)
+def _seq_padding(s, *blocks):
+    blk = max(blocks)
     return ((s + blk - 1) // blk) * blk - s
 
 
 def _attn_padded(q, k, v, mask, block_q, block_k, use_pallas,
-                 with_residuals=False):
+                 with_residuals=False, bwd_block_q=None, bwd_block_k=None):
     """Pad S to lcm-friendly multiples and dispatch. q,k,v (B, S, H, D).
     ``with_residuals`` also returns (out_padded, lse, mask_padded) for the
-    flash-backward kernels (Pallas path only)."""
+    flash-backward kernels (Pallas path only). The padding covers BOTH the
+    forward and backward block sizes (all powers of two here, so the max is
+    a common multiple) — the saved residuals are reused by the backward
+    kernels at their own tiling."""
     b, s, h, d = q.shape
-    pad = _seq_padding(s, block_q, block_k)
+    pad = _seq_padding(s, block_q, block_k,
+                       bwd_block_q or block_q, bwd_block_k or block_k)
     if mask is None:
         mask = jnp.ones((b, s), bool)
     if pad:
@@ -377,33 +387,40 @@ def _attn_padded(q, k, v, mask, block_q, block_k, use_pallas,
     return out[:, :s] if pad else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash_attention_impl(q, k, v, block_q, block_k, use_pallas, mask):
-    return _attn_padded(q, k, v, mask, block_q, block_k, use_pallas)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_attention_impl(q, k, v, block_q, block_k, bwd_block_q,
+                          bwd_block_k, use_pallas, mask):
+    return _attn_padded(q, k, v, mask, block_q, block_k, use_pallas,
+                        bwd_block_q=bwd_block_q, bwd_block_k=bwd_block_k)
 
 
-def _flash_fwd_rule(q, k, v, block_q, block_k, use_pallas, mask):
+def _flash_fwd_rule(q, k, v, block_q, block_k, bwd_block_q, bwd_block_k,
+                    use_pallas, mask):
     out, res = _attn_padded(q, k, v, mask, block_q, block_k, use_pallas,
-                            with_residuals=True)
+                            with_residuals=True, bwd_block_q=bwd_block_q,
+                            bwd_block_k=bwd_block_k)
     return out, (q, k, v, mask, res)
 
 
-def _flash_bwd_rule(block_q, block_k, use_pallas, residuals, g):
+def _flash_bwd_rule(block_q, block_k, bwd_block_q, bwd_block_k, use_pallas,
+                    residuals, g):
     """Pallas path: FlashAttention-2 dq/dkv kernels over the saved
-    (out, lse) — no forward recompute, no (S, S) tensor. XLA/CPU path:
+    (out, lse) — no forward recompute, no (S, S) tensor — at their own
+    (bwd_block_q, bwd_block_k) tiling (the backward holds more per-program
+    VMEM than the forward, so its optimum differs). XLA/CPU path:
     recompute attention blockwise under remat and let XLA differentiate
     the O(S*BK)-memory scan."""
     q, k, v, mask, res = residuals
     if res is not None:
         out_t, lse, mask_pad = res                 # padded, (B, H, S', D)
         b, s, h, d = q.shape
-        pad = _seq_padding(s, block_q, block_k)
+        pad = _seq_padding(s, block_q, block_k, bwd_block_q, bwd_block_k)
         gt = _pad_seq(g, pad).transpose(0, 2, 1, 3)
         qt = _pad_seq(q, pad).transpose(0, 2, 1, 3)
         kt = _pad_seq(k, pad).transpose(0, 2, 1, 3)
         vt = _pad_seq(v, pad).transpose(0, 2, 1, 3)
         dq, dk, dv = _flash_backward(qt, kt, vt, gt, out_t, lse, mask_pad,
-                                     block_q, block_k)
+                                     bwd_block_q, bwd_block_k)
         dq = dq.transpose(0, 2, 1, 3)[:, :s]
         dk = dk.transpose(0, 2, 1, 3)[:, :s]
         dv = dv.transpose(0, 2, 1, 3)[:, :s]
@@ -423,22 +440,32 @@ _flash_attention_impl.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 def flash_attention(q, k, v, mask: Optional[jnp.ndarray] = None, *,
                     block_q: int = DEFAULT_BLOCK_Q,
                     block_k: int = DEFAULT_BLOCK_K,
+                    bwd_block_q: Optional[int] = None,
+                    bwd_block_k: Optional[int] = None,
                     use_pallas: Optional[bool] = None):
     """Flash attention over (B, S, H, D) tensors with optional (B, S) key mask.
 
     ``use_pallas=None`` auto-selects: the Pallas kernel on TPU, the XLA
     blockwise scan elsewhere (CPU tests, interpret mode).
+    ``bwd_block_q``/``bwd_block_k`` tile the backward kernels independently
+    of the forward (default: same as forward).
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
-    return _flash_attention_impl(q, k, v, block_q, block_k, use_pallas, mask)
+    return _flash_attention_impl(q, k, v, block_q, block_k,
+                                 bwd_block_q or block_q,
+                                 bwd_block_k or block_k, use_pallas, mask)
 
 
-def make_attention_fn(threshold: int = 2048, block_q: int = DEFAULT_BLOCK_Q,
-                      block_k: int = DEFAULT_BLOCK_K):
+def make_attention_fn(threshold: int = 2048,
+                      block_q: Optional[int] = None,
+                      block_k: Optional[int] = None,
+                      bwd_block_q: Optional[int] = None,
+                      bwd_block_k: Optional[int] = None):
     """attention_fn for vit.mhsa: flash attention for sequences past the
     threshold, plain XLA attention below it (small-S full attention is faster
-    and XLA fuses it well)."""
+    and XLA fuses it well). Block sizes default to the module-level tuned
+    constants, resolved at CALL time (so sweeps can override the globals)."""
 
     def attention_fn(q, k, v, mask):
         s = q.shape[1]
@@ -451,6 +478,11 @@ def make_attention_fn(threshold: int = 2048, block_q: int = DEFAULT_BLOCK_Q,
             probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
             return jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                               preferred_element_type=jnp.float32).astype(q.dtype)
-        return flash_attention(q, k, v, mask, block_q=block_q, block_k=block_k)
+        return flash_attention(
+            q, k, v, mask,
+            block_q=block_q or DEFAULT_BLOCK_Q,
+            block_k=block_k or DEFAULT_BLOCK_K,
+            bwd_block_q=bwd_block_q or DEFAULT_BWD_BLOCK_Q,
+            bwd_block_k=bwd_block_k or DEFAULT_BWD_BLOCK_K)
 
     return attention_fn
