@@ -945,7 +945,11 @@ def run_config5(root, args, workdir, kinds, have_ref):
     g["seed"] = args.seed
     g["output_dir"] = workdir
     g["is_verbose"] = False
-    C.vit_config["remat"] = True  # long patch sequences: remat encoder layers
+    # No encoder remat: with the Pallas flash backward the 5000p fused step
+    # measures 5.92 pairs/s non-remat vs 4.68 remat at batch 4 (profiler
+    # tune5000, v5e) — storing activations beats recomputing the layer now
+    # that attention's own backward no longer recomputes.
+    C.vit_config["remat"] = False
     if kinds.get("pipal") == "synthetic":
         C.split_config_pipal[C.SPLIT_NAME_TRAIN] = list(range(0, 6))
     C.dataloader_config_vtamiq[C.SPLIT_NAME_TRAIN] = {

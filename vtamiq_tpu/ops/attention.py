@@ -43,9 +43,12 @@ DEFAULT_BLOCK_K = 1024  # 5120-token sweep: +30% over (256, 512) — the
 
 # backward kernels tile independently (they hold ~3x the forward's VMEM per
 # program: q/k/v/do tiles + two fp32 (BQ, BK) intermediates + dk/dv scratch).
-# None = inherit the forward blocks; tuned via `tools/profiler.py tune5000`.
-DEFAULT_BWD_BLOCK_Q = None
-DEFAULT_BWD_BLOCK_K = None
+# Tuned via `tools/profiler.py tune5000` on v5e at (B=4, S=5120, H=12, D=64)
+# bf16: (1024, 1024) 61.4 ms/grad vs inherited-(512, 1024) 63.0 — the sweep
+# also showed the fused 5000p train step prefers NO encoder remat once the
+# backward is kernel-based (5.92 vs 4.68 pairs/s at batch 4).
+DEFAULT_BWD_BLOCK_Q = 1024
+DEFAULT_BWD_BLOCK_K = 1024
 
 # patch counts past this use flash attention (below it, XLA's fused full
 # attention is faster and the quadratic logits easily fit)
