@@ -479,3 +479,43 @@ class TestMoreParsers:
             pytest.skip("EXR write unsupported in this cv2 build")
         out = imread(path, is_hdr=True)
         np.testing.assert_allclose(out, hdr, rtol=1e-3)  # half-float storage
+
+
+class TestDatasetsRootResolution:
+    """resolve_datasets_root: kwarg > monkeypatched module attr > live env
+    > import-time default (the env var must NOT be frozen at import — that
+    trap cost a detached hardware run; see tools/run_kadis_workflow.py)."""
+
+    def test_live_env_read_after_import(self, monkeypatch):
+        from vtamiq_tpu.data import datasets as D
+        monkeypatch.setenv("VTAMIQ_DATASETS_PATH", "/late/env/root")
+        assert D.resolve_datasets_root() == "/late/env/root"
+
+    def test_explicit_kwarg_wins(self, monkeypatch):
+        from vtamiq_tpu.data import datasets as D
+        monkeypatch.setenv("VTAMIQ_DATASETS_PATH", "/late/env/root")
+        assert D.resolve_datasets_root("/explicit") == "/explicit"
+
+    def test_monkeypatched_module_attr_beats_env(self, monkeypatch):
+        # parity_run.point_frameworks_at rebinds DATASETS_DEFAULT_PATH
+        from vtamiq_tpu.data import datasets as D
+        monkeypatch.setenv("VTAMIQ_DATASETS_PATH", "/late/env/root")
+        monkeypatch.setattr(D, "DATASETS_DEFAULT_PATH", "/parity/root")
+        assert D.resolve_datasets_root() == "/parity/root"
+
+    def test_default_without_env(self, monkeypatch):
+        from vtamiq_tpu.data import datasets as D
+        monkeypatch.delenv("VTAMIQ_DATASETS_PATH", raising=False)
+        assert D.resolve_datasets_root() == D._IMPORT_TIME_DATASETS_PATH
+
+    def test_dataset_ctor_uses_live_env(self, tmp_path, monkeypatch):
+        from vtamiq_tpu.data import datasets as D
+        make_tid(str(tmp_path))
+        monkeypatch.setenv("VTAMIQ_DATASETS_PATH", str(tmp_path))
+
+        class TinyTID(D.TID2013Dataset):
+            num_ref_images = 2
+            num_dist_images = 3
+
+        ds = TinyTID()  # no datasets_root kwarg: resolved from live env
+        assert ds.path == f"{tmp_path}/tid2013"

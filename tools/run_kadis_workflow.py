@@ -19,6 +19,7 @@ sys.path.insert(0, REPO)
 
 ROOT = os.environ.get("VTAMIQ_DATASETS_PATH",
                       os.path.join(REPO, ".parity_data"))
+os.environ["VTAMIQ_DATASETS_PATH"] = ROOT  # read live by resolve_datasets_root
 
 
 def fresh_configs():
@@ -27,7 +28,6 @@ def fresh_configs():
     importlib.reload(C)
     from vtamiq_tpu.train import engine
     importlib.reload(engine)
-    os.environ["VTAMIQ_DATASETS_PATH"] = ROOT
     C.global_config["seed"] = 7
     C.global_config["is_verbose"] = False
     C.global_config["output_dir"] = os.path.join(REPO, ".kadis_workflow_out")

@@ -34,6 +34,24 @@ from .imageio import (
 dataset_split = namedtuple("dataset_split", ["name", "indices"])
 
 DATASETS_DEFAULT_PATH = os.environ.get("VTAMIQ_DATASETS_PATH", "datasets")
+_IMPORT_TIME_DATASETS_PATH = DATASETS_DEFAULT_PATH
+
+
+def resolve_datasets_root(explicit: Optional[str] = None) -> str:
+    """Dataset root resolution: explicit kwarg > monkeypatched module
+    attribute > live $VTAMIQ_DATASETS_PATH > import-time default.
+
+    Reading the env var LIVE (not just at import) removes the trap where a
+    script sets VTAMIQ_DATASETS_PATH after an incidental vtamiq_tpu import
+    and silently reads the wrong root; tools that rebind
+    DATASETS_DEFAULT_PATH directly (parity_run.point_frameworks_at) still
+    take precedence because a rebound attribute differs from the
+    import-time snapshot."""
+    if explicit is not None:
+        return explicit
+    if DATASETS_DEFAULT_PATH != _IMPORT_TIME_DATASETS_PATH:
+        return DATASETS_DEFAULT_PATH
+    return os.environ.get("VTAMIQ_DATASETS_PATH", DATASETS_DEFAULT_PATH)
 
 SPLIT_NAME_FULL = "FullDataset"
 
@@ -49,7 +67,7 @@ class ImageDataset:
         check_unused_kwargs(f"ImageDataset({name})", **{
             k: v for k, v in kwargs.items() if k not in _KNOWN_UNUSED_KWARGS})
         self.name = name
-        root = datasets_root if datasets_root is not None else DATASETS_DEFAULT_PATH
+        root = resolve_datasets_root(datasets_root)
         self.path = path if os.path.isabs(path) else f"{root}/{path}"
         self.is_hdr = is_hdr
         self.normalize = normalize and not is_hdr
