@@ -35,6 +35,20 @@ def fresh_configs():
     return C
 
 
+def val_trajectory(run_dir):
+    """Per-epoch val-SROCC from the run's scalars.jsonl — the convergence
+    comparison is the transfer evidence when the endpoint saturates."""
+    vals = []
+    path = os.path.join(run_dir, "scalars.jsonl")
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                d = json.loads(line)
+                if d["tag"].endswith("val-SROCC"):
+                    vals.append((d["step"], round(d["value"], 6)))
+    return vals
+
+
 def main():
     from vtamiq_tpu.data import synth
     synth.generate_kadis700k(os.path.join(ROOT, "kadis700k"), num_refs=120)
@@ -65,6 +79,7 @@ def main():
         "checkpoint": ckpt,
         "test_SROCC": float(cors_pre["SROCC"]),
         "test_PLCC": float(cors_pre["PLCC"]),
+        "val_SROCC_per_epoch": val_trajectory(C.global_config["output_dir_final"]),
         "seconds": time.time() - t0,
     }
     print("pretrained:", out["pretrained"], flush=True)
@@ -83,12 +98,19 @@ def main():
     out["cold_start"] = {
         "test_SROCC": float(cors_cold["SROCC"]),
         "test_PLCC": float(cors_cold["PLCC"]),
+        "val_SROCC_per_epoch": val_trajectory(C.global_config["output_dir_final"]),
         "seconds": time.time() - t0,
     }
     print("cold:", out["cold_start"], flush=True)
 
     out["improvement_SROCC"] = (out["pretrained"]["test_SROCC"]
                                 - out["cold_start"]["test_SROCC"])
+    pre_t = out["pretrained"]["val_SROCC_per_epoch"]
+    cold_t = out["cold_start"]["val_SROCC_per_epoch"]
+    if pre_t and cold_t:
+        # equal-1-epoch-budget comparison: transfer evidence that survives
+        # endpoint saturation on easy synthetic finetune corpora
+        out["epoch1_val_SROCC_delta"] = pre_t[0][1] - cold_t[0][1]
     with open(os.path.join(REPO, "KADIS_WORKFLOW.json"), "w") as f:
         json.dump(out, f, indent=2)
     print("RESULT:", json.dumps(out), flush=True)
