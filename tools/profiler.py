@@ -20,6 +20,7 @@ Subcommands:
   train      fused train-step rate (fwd+bwd+AdamW), optional grad-of-flash
              backward A/B (Pallas kernels vs XLA recompute)
   configs    the tracked non-headline configs (weighted CAPS, 5000p)
+  variants   fused-inference rate per ViT backbone variant (B16/B8/L16)
 
 Examples:
   PYTHONPATH=/root/repo:$PYTHONPATH nohup python tools/profiler.py stages > /tmp/prof.log 2>&1 &
@@ -453,10 +454,39 @@ def cmd_configs(args):
         cmd_stages(a)
 
 
+def cmd_variants(args):
+    """Fused-inference rate for each ViT backbone variant the reference
+    ships (get_B8/B16/L16_config, /root/reference/model/transformer.py) at
+    the flagship 500-patch config. B8 quadruples the patch grid (8 px
+    patches over the same uv space); L16 doubles width and depth."""
+    from vtamiq_tpu.models.configs import (VIT_VARIANT_B8, VIT_VARIANT_B16,
+                                           VIT_VARIANT_L16)
+    for variant in (VIT_VARIANT_B16, VIT_VARIANT_B8, VIT_VARIANT_L16):
+        vit = get_vit_config(variant, num_keep_layers=args.layers,
+                             num_extra_tokens=8)
+        cfg = VTAMIQConfig(vit=vit)
+        params = init_vtamiq_params(jax.random.PRNGKey(0), cfg)
+        ecfg = ExtractConfig(patch_count=args.patches,
+                             patch_dim=vit.patch_size,
+                             norm_mean=(0.5 + SALT, 0.5, 0.5))
+        extract = make_extract_fn(PatchSampler(), ecfg)
+
+        def fused(params, raw, key, cfg=cfg, extract=extract):
+            patches, pos, scales = extract(raw, key)
+            return jnp.sum(vtamiq_forward(params, cfg, patches, pos, scales))
+
+        raw, key = fresh_raw(args.batch)
+        run = loop_jit(fused, args.iters)
+        float(run(params, raw, jax.random.fold_in(key, 9999)))
+        timeit(lambda t: run(params, raw, jax.random.fold_in(key, t)),
+               args.batch * args.iters, 5000.0,
+               f"{variant} fused ({args.patches}p, keep {args.layers})")
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("cmd", choices=["stages", "extract", "attention", "train",
-                                   "configs", "tune5000"])
+                                   "configs", "tune5000", "variants"])
     p.add_argument("--patches", type=int, default=500)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--layers", type=int, default=6)
@@ -473,7 +503,7 @@ def main():
     print(f"device: {jax.devices()[0]}  seed: {SEED}", flush=True)
     {"stages": cmd_stages, "extract": cmd_extract, "attention": cmd_attention,
      "train": cmd_train, "configs": cmd_configs,
-     "tune5000": cmd_tune5000}[args.cmd](args)
+     "tune5000": cmd_tune5000, "variants": cmd_variants}[args.cmd](args)
 
 
 if __name__ == "__main__":
