@@ -246,31 +246,14 @@ def measure_extra_configs(budget_s: float = 1500.0):
     salt = (int(time.time_ns()) % 997) * 1e-13
     results = {}
 
+    # one shared implementation of the fresh-inputs + plausibility-filtered
+    # median methodology (also used by tools/profiler.py)
+    from vtamiq_tpu.utils.benchharness import fresh_pair_batch, timed_median
+
     def fresh(batch, seed_extra=0):
-        s = (int(time.time_ns()) + seed_extra) & 0x7FFFFFFF
-        r = np.random.default_rng(s)
-        return (jnp.asarray(r.uniform(0, 1, (batch, 2, IMG_H, IMG_W, 3)),
-                            jnp.float32), jax.random.PRNGKey(s))
+        return fresh_pair_batch(batch, IMG_H, IMG_W, seed_extra)
 
-    def timed(fn, pairs_per_call, bound, n_trials=2):
-        """Median of plausible trials; float() barrier; reject readings past
-        the physical bound (CLAUDE.md rules 3/5)."""
-        min_dt = pairs_per_call / bound
-        times = []
-        for t in range(n_trials + 2):
-            t0 = time.perf_counter()
-            float(fn(t))
-            dt = time.perf_counter() - t0
-            if dt >= min_dt:
-                times.append(dt)
-            if len(times) >= n_trials:
-                break
-        if not times:
-            raise RuntimeError("all trials implausibly fast (relay replay)")
-        return pairs_per_sec_from(sorted(times)[len(times) // 2], pairs_per_call)
-
-    def pairs_per_sec_from(dt, pairs):
-        return pairs / dt
+    timed = timed_median
 
     def fused_infer(sampler, ecfg, batch, iters, bound):
         extract = make_extract_fn(sampler, ecfg)

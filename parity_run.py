@@ -421,7 +421,7 @@ def pearson_gate_decision(d_plcc, d_plcc_nofit, se_delta, gate, fit_free):
 
 
 def anchor_eval(params, cfg, C, ds_name, indices, args, patch_count=512,
-                num_scales=1, gate=None, repeats=2, fit_free=False):
+                num_scales=1, gate=None, repeats=None, fit_free=False):
     """Identical-weights eval through BOTH stacks -> delta record.
 
     This is the stack-parity anchor the round-2 VERDICT asked for on
@@ -458,7 +458,7 @@ def anchor_eval(params, cfg, C, ds_name, indices, args, patch_count=512,
     A genuine stack mismatch cannot hide behind this rule: it would move
     PLCC_NOFIT (and SROCC) too, which stay gated at full strength."""
     gate = gate if gate is not None else args.gate
-    if repeats == 2:  # call sites that don't pin repeats follow the CLI
+    if repeats is None:  # call sites that don't pin repeats follow the CLI
         repeats = getattr(args, "anchor_repeats", 2)
     t0 = time.time()
     ours, ys_o, yp_o = _our_eval_pairs(

@@ -200,6 +200,8 @@ def make_multisize_tid(root, sizes, num_dist=3):
     class MultiSizeTID(TID2013Dataset):
         num_ref_images = len(sizes)
         num_dist_images = num_dist
+        img_dim = None  # sizes vary: must not inherit TID's fixed-size
+        # declaration (loaders trust img_dim and skip per-item size probes)
 
     return MultiSizeTID(datasets_root=root)
 
@@ -298,6 +300,7 @@ class TestEngineVarsize:
             class MultiTID(TID2013Dataset):
                 num_ref_images = len(SIZES)
                 num_dist_images = 3
+                img_dim = None  # sizes vary (see make_multisize_tid)
 
                 def __init__(self, **kwargs):
                     kwargs.setdefault("datasets_root", root)

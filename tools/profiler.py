@@ -69,32 +69,22 @@ def build(args):
     return cfg, params, sampler, ecfg
 
 
+from vtamiq_tpu.utils.benchharness import (fresh_pair_batch, timed_median,
+                                           ImplausiblyFast)
+
+
 def fresh_raw(batch):
-    s = int(time.time_ns()) & 0x7FFFFFFF
-    r = np.random.default_rng(s)
-    raw = jnp.asarray(r.uniform(0, 1, (batch, 2, IMG_H, IMG_W, 3)), jnp.float32)
-    return raw, jax.random.PRNGKey(s)
+    return fresh_pair_batch(batch, IMG_H, IMG_W)
 
 
 def timeit(fn, pairs_per_call, bound, label, trials=3):
     """Median of plausible trials. fn(t) must end in a host transfer."""
-    min_dt = pairs_per_call / bound
-    times = []
-    for t in range(trials + 2):
-        t0 = time.perf_counter()
-        float(fn(t))
-        dt = time.perf_counter() - t0
-        if dt >= min_dt:
-            times.append(dt)
-        if len(times) >= trials:
-            break
-    if not times:
+    try:
+        rate = timed_median(fn, pairs_per_call, bound, trials)
+    except ImplausiblyFast:
         print(f"{label}: ALL TRIALS IMPLAUSIBLY FAST (relay replay)", flush=True)
         return None
-    dt = sorted(times)[len(times) // 2]
-    rate = pairs_per_call / dt
-    print(f"{label}: {rate:.1f} pairs/s ({dt / pairs_per_call * 1e3:.3f} ms/pair)",
-          flush=True)
+    print(f"{label}: {rate:.1f} pairs/s ({1e3 / rate:.3f} ms/pair)", flush=True)
     return rate
 
 
@@ -130,18 +120,25 @@ def cmd_stages(args):
         timeit(lambda t, run=run: run(params, raw, jax.random.fold_in(key, t)),
                pairs, bound, label)
 
-    # forward-only on pre-extracted patches (extraction excluded)
+    # forward-only on pre-extracted patches (extraction excluded). TWO traps
+    # here (both measured, 2026-08-18): (a) if the loop body is
+    # loop-invariant, XLA hoists the forward out of the fori_loop and 30
+    # "iterations" execute ONE forward — the reading is 30x too fast and the
+    # plausibility filter rejects it; (b) identical (program, inputs) across
+    # trials are served from the relay's execution memo (CLAUDE.md rule 3).
+    # The per-trial salt scalar fixes (b); multiplying it with the iteration
+    # index into the patches fixes (a).
     patches, pos, scales = jax.jit(extract)(raw, key)
 
     @jax.jit
-    def fwd_loop(params, patches, pos, scales):
+    def fwd_loop(params, patches, pos, scales, salt):
         def body(i, acc):
-            return acc + jnp.sum(vtamiq_forward(
-                params, cfg, patches, pos, scales)) + jnp.float32(SALT) * i
+            p_i = patches * (1.0 + salt * 1e-6 + i.astype(patches.dtype) * 1e-6)
+            return acc + jnp.sum(vtamiq_forward(params, cfg, p_i, pos, scales))
         return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
 
-    float(fwd_loop(params, patches, pos, scales))
-    timeit(lambda t: fwd_loop(params, patches, pos, scales),
+    float(fwd_loop(params, patches, pos, scales, jnp.float32(-1.0)))
+    timeit(lambda t: fwd_loop(params, patches, pos, scales, jnp.float32(t)),
            pairs, 5000.0, "forward-only")
 
 

@@ -136,6 +136,13 @@ class PatchDatasetLoader:
         the epoch permutation). Sizes come from cached header reads."""
         reps = self.num_repeats_data
         bs = self._assembly_batch_size()
+        if self.dataset.img_dim is not None:
+            # fixed-size dataset (TID/KADID/CSIQ/PIPAL/PieAPP): one size
+            # group — O(1) arithmetic, no per-item header reads at startup
+            n = len(self.dataset.split_indices(self.split_name))
+            if self.pad_partial_batches:
+                return (n * reps + bs - 1) // bs
+            return (n * reps) // bs
         canonical = self.size_buckets()  # None when exact-size batching
         counts: Dict[Tuple[int, int], int] = {}
         for i in self.dataset.split_indices(self.split_name):
@@ -167,6 +174,8 @@ class PatchDatasetLoader:
             return self.dataset.get_img(path, is_ref_img=True).shape[:2]
 
     def _item_size_cached(self, index: int) -> Tuple[int, int]:
+        if self.dataset.img_dim is not None:  # declared fixed size: no I/O
+            return tuple(self.dataset.img_dim)
         size = self._size_cache.get(index)
         if size is None:
             size = self._size_cache[index] = self._item_size(index)

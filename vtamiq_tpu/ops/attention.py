@@ -297,17 +297,22 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _flash_backward(q, k, v, do, out, lse, mask, block_q, block_k):
+def _flash_backward(q, k, v, do, out, lse, mask, block_q, block_k,
+                    delta=None):
     """(B, H, S, D) tensors + lse (B, H, S, 1) -> (dq, dk, dv).
 
     lse/delta keep a trailing singleton axis so their blocks are (BQ, 1)
-    tiles (see _flash_forward on Mosaic's block-shape divisibility rule)."""
+    tiles (see _flash_forward on Mosaic's block-shape divisibility rule).
+    ``delta`` (= sum_d dO*O, (B, H, S, 1)) may be passed precomputed: the
+    ring backward calls this once per ring step with unchanged (do, out),
+    so recomputing it inside would cost n redundant reductions."""
     b, h, s, d = q.shape
     scale = 1.0 / math.sqrt(d)
     nq = s // block_q
     nk = s // block_k
-    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
-                    axis=-1, keepdims=True)         # (B, H, S, 1)
+    if delta is None:
+        delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                        axis=-1, keepdims=True)     # (B, H, S, 1)
     mask_i = mask.astype(jnp.int32)[:, None, :]     # (B, 1, S)
 
     q_spec_q = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0))

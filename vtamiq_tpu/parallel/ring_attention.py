@@ -211,7 +211,7 @@ def _make_ring_flash_local(axis_name: str, use_pallas: bool):
             vt = vc.transpose(0, 2, 1, 3)
             if flash:
                 dq_i, dk_i, dv_i = _flash_backward(
-                    qt, kt, vt, dot, out_t, lse, mc, blk, blk)
+                    qt, kt, vt, dot, out_t, lse, mc, blk, blk, delta=delta)
             else:
                 dq_i, dk_i, dv_i = _xla_chunk_backward(
                     qt, kt, vt, dot, lse, delta, mc, scale)

@@ -1,0 +1,64 @@
+"""Shared TPU measurement harness for bench.py and tools/profiler.py.
+
+One implementation of the methodology both tools must follow on this
+tunneled-TPU environment (CLAUDE.md env rules):
+
+- timed results are consumed via ``float()`` — the only reliable completion
+  barrier on this service (``block_until_ready`` lies post-compile);
+- the service memoizes executions by (program, inputs) across processes, so
+  every timed call must vary its inputs (callers fold the trial index into
+  their PRNG key or pass it as a traced scalar);
+- readings faster than the physical roofline ``bound`` are rejected as
+  non-executed replays.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+__all__ = ["fresh_pair_batch", "timed_median", "ImplausiblyFast"]
+
+
+class ImplausiblyFast(RuntimeError):
+    """Every trial returned faster than physics allows: the relay served
+    memoized replays and nothing measurably executed."""
+
+
+def fresh_pair_batch(batch: int, h: int, w: int, seed_extra: int = 0):
+    """Time-seeded (batch, 2, h, w, 3) fp32 ref/dist raw images + PRNG key.
+
+    Time-based seeds keep the (program, inputs) pair unique per process so
+    the first dispatch is never a cross-process replay."""
+    import jax
+    import jax.numpy as jnp
+
+    s = (int(time.time_ns()) + seed_extra) & 0x7FFFFFFF
+    r = np.random.default_rng(s)
+    raw = jnp.asarray(r.uniform(0, 1, (batch, 2, h, w, 3)), jnp.float32)
+    return raw, jax.random.PRNGKey(s)
+
+
+def timed_median(fn, pairs_per_call: float, bound: float,
+                 trials: int = 2) -> float:
+    """Median pairs/sec over ``trials`` plausible timings of ``fn(t)``.
+
+    ``fn(t)`` must consume its result host-side (end in a value ``float()``
+    can take) and must vary its device inputs with ``t``. Readings implying
+    a rate past ``bound`` pairs/sec are discarded; raises ImplausiblyFast
+    if no trial survives (two spare attempts are allowed)."""
+    min_dt = pairs_per_call / bound
+    times = []
+    for t in range(trials + 2):
+        t0 = time.perf_counter()
+        float(fn(t))
+        dt = time.perf_counter() - t0
+        if dt >= min_dt:
+            times.append(dt)
+        if len(times) >= trials:
+            break
+    if not times:
+        raise ImplausiblyFast("all trials implausibly fast (relay replay)")
+    dt = sorted(times)[len(times) // 2]
+    return pairs_per_call / dt
