@@ -147,3 +147,19 @@ class TestSizeBuckets:
         q_b = s_bucket.score_batch([ref] * 3, dists)
         assert np.isfinite(q_b).all()
         assert list(np.argsort(q_e)) == list(np.argsort(q_b))
+
+
+class TestFromCheckpointValidation:
+    def test_rejects_file_without_model_state(self, tmp_path):
+        save_checkpoint(str(tmp_path), "empty.npz", {}, epoch=0, srocc=0.0)
+        with pytest.raises(ValueError, match="no 'model_state_dict'"):
+            VTAMIQScorer.from_checkpoint(str(tmp_path / "empty.npz"),
+                                         cfg=SMALL_CFG, patch_count=16)
+
+    def test_rejects_zero_leaf_merge(self, tmp_path):
+        bogus = {"vit": {"bogus": np.zeros((3, 3), np.float32)}}
+        save_checkpoint(str(tmp_path), "bogus.npz",
+                        {MODEL_STATE_DICT: bogus}, epoch=0, srocc=0.0)
+        with pytest.raises(ValueError, match="no checkpoint leaf matched"):
+            VTAMIQScorer.from_checkpoint(str(tmp_path / "bogus.npz"),
+                                         cfg=SMALL_CFG, patch_count=16)

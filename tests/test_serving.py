@@ -395,3 +395,38 @@ class TestBucketedServing:
                 mb.submit(big, big)
         finally:
             mb.stop()
+
+
+class TestStopLifecycle:
+    def test_submit_after_stop_rejected(self):
+        from vtamiq_tpu.serving import QueueFullError
+        mb = MicroBatcher(FakeScorer(), max_batch=2).start()
+        mb.stop()
+        with pytest.raises(QueueFullError, match="stopped"):
+            mb.submit(*make_pair(None, 0.1))
+
+    def test_restart_after_clean_stop(self):
+        mb = MicroBatcher(FakeScorer(), max_batch=2, max_wait_ms=1.0).start()
+        mb.stop()
+        mb.start()
+        try:
+            assert mb.score(*make_pair(None, 0.25), timeout=10) == \
+                pytest.approx(0.25)
+        finally:
+            mb.stop()
+
+    def test_stop_survives_racing_cancel(self):
+        """A future whose set_exception raises InvalidStateError (caller
+        cancel landing mid-drain) must not crash stop()."""
+        from concurrent.futures import InvalidStateError
+
+        class CancelMidDrain:
+            done = staticmethod(lambda: False)
+
+            def set_exception(self, *_):
+                raise InvalidStateError("cancelled mid-drain")
+
+        mb = MicroBatcher(FakeScorer(), max_batch=2)  # not started
+        ref, dist = make_pair(None, 0.1)
+        mb._queue.put_nowait((ref, dist, CancelMidDrain()))
+        mb.stop()  # must not raise

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .data.buckets import assign_bucket, pad_to_bucket
+from .utils import log_warn
 from .models.checkpoint import load_checkpoint, merge_params, MODEL_STATE_DICT
 from .models.configs import get_vit_config, VTAMIQConfig
 from .models.vit import load_vit_npz
@@ -29,6 +30,17 @@ from .train.steps import ExtractConfig, make_extract_fn
 
 DEFAULT_NORM_MEAN = 0.5
 DEFAULT_NORM_STD = 0.5
+
+
+def preference_from_scores(q_a: float, q_b: float) -> float:
+    """sigmoid(q_a - q_b) — the reference's pairwise preference module
+    output (train.py:282-301; models/preference.py is the jax twin). The
+    DIRECTION of "preference" follows the training labels' convention:
+    pairwise-trained (PieAPP) checkpoints emit it as the trained preference
+    probability, while for error-like FR scores (lower q = better) a larger
+    value means dist_a is scored as MORE distorted. One shared definition
+    for the library compare() and the HTTP /compare endpoint."""
+    return float(1.0 / (1.0 + np.exp(-(float(q_a) - float(q_b)))))
 
 
 class VTAMIQScorer:
@@ -62,15 +74,33 @@ class VTAMIQScorer:
                              if size_buckets else None)
         self._key = jax.random.PRNGKey(seed)
         self._pipelines = {}
+        self._oversize_warned: set = set()
 
     # -- constructors --------------------------------------------------------
 
     @classmethod
     def from_checkpoint(cls, checkpoint_path: str, cfg: Optional[VTAMIQConfig] = None,
                         **kwargs) -> "VTAMIQScorer":
+        """Build a scorer from a framework checkpoint. Refuses to serve
+        random weights: the checkpoint must contain a model state dict and
+        at least one leaf must actually merge (a config-mismatched or
+        wrong-kind file would otherwise silently score garbage)."""
         scorer = cls(cfg=cfg, **kwargs)
         ckpt = load_checkpoint(checkpoint_path)
-        scorer.params = merge_params(scorer.params, ckpt.get(MODEL_STATE_DICT, {}))
+        if MODEL_STATE_DICT not in ckpt:
+            raise ValueError(
+                f"{checkpoint_path!r} has no '{MODEL_STATE_DICT}' — not a "
+                f"framework checkpoint (found keys: {sorted(ckpt)}); for a "
+                f"raw ViT .npz use VTAMIQScorer.from_vit_npz")
+        stats: Dict[str, int] = {}
+        scorer.params = merge_params(scorer.params, ckpt[MODEL_STATE_DICT],
+                                     stats=stats)
+        if stats.get("merged", 0) == 0:
+            raise ValueError(
+                f"{checkpoint_path!r}: no checkpoint leaf matched the model "
+                f"(all {stats.get('kept', 0)} leaves shape-mismatched or "
+                f"missing — wrong vit config?); refusing to serve "
+                f"random-initialized weights")
         return scorer
 
     @classmethod
@@ -85,9 +115,21 @@ class VTAMIQScorer:
 
     def executable_key(self, h: int, w: int):
         """The (H, W) an image of true size (h, w) is scored at: its covering
-        canonical bucket when size_buckets is set, else the exact shape."""
+        canonical bucket when size_buckets is set, else the exact shape.
+
+        An image LARGER than every bucket falls back to its exact shape —
+        a fresh executable outside the bounded bucket x ladder set (and a
+        fresh XLA compile on first use). Warned once per shape; pass
+        restrict_to_warmed=True to the batcher to reject these instead."""
         if self.size_buckets:
-            return assign_bucket((h, w), self.size_buckets)
+            key = assign_bucket((h, w), self.size_buckets)
+            if key == (int(h), int(w)) and key not in self.size_buckets \
+                    and key not in self._oversize_warned:
+                self._oversize_warned.add(key)
+                log_warn(f"image size {key} exceeds every size bucket "
+                         f"{self.size_buckets}; scoring at its exact shape "
+                         f"(unbounded executable set + compile stall risk)")
+            return key
         return (int(h), int(w))
 
     def _pipeline(self, batch: int, h: int, w: int, with_hw: bool = False):
@@ -163,20 +205,21 @@ class VTAMIQScorer:
         return out
 
     def score_pair(self, ref: np.ndarray, dist: np.ndarray) -> float:
-        """Score one ref/dist pair; returns a scalar quality score
-        (lower = better under the framework's training convention)."""
+        """Score one ref/dist pair; returns a scalar quality score. The
+        DIRECTION (higher vs lower = better) follows whatever convention
+        the checkpoint was trained with — the shipped FR dataset configs
+        process Qs to [0, 1] (ops/values.process_qs); see
+        preference_from_scores for how this interacts with compare()."""
         return float(self.score_batch([ref], [dist])[0])
 
     def compare(self, ref: np.ndarray, dist_a: np.ndarray,
                 dist_b: np.ndarray) -> float:
-        """Preference probability that dist_a is preferred over dist_b given
-        the shared reference: sigmoid(q_a - q_b), matching the default
-        pairwise training convention preference_sigmoid(q1, q2) =
-        sigmoid(q1 - q2) with q1 = score(ref, dist_a) (the reference's
-        pairwise predict path, train.py:282-301; our train/steps.py
-        _forward_scores)."""
+        """sigmoid(q_a - q_b) with q_a = score(ref, dist_a) — exactly the
+        reference's pairwise preference output (train.py:282-301; our
+        train/steps.py _forward_scores). Direction caveat: see
+        preference_from_scores."""
         qs = self.score_batch([ref, ref], [dist_a, dist_b])
-        return float(1.0 / (1.0 + np.exp(-(qs[0] - qs[1]))))
+        return preference_from_scores(qs[0], qs[1])
 
 
 def score_pair(ref: np.ndarray, dist: np.ndarray,

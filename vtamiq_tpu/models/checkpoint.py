@@ -133,21 +133,36 @@ def apply_pretraining_gates(model_state: Dict, allow_vit: bool = True,
 
 
 def merge_params(params: Dict, loaded: Dict, strict: bool = False, log=None,
+                 stats: Optional[Dict[str, int]] = None,
                  _path: str = "") -> Dict:
     """Strict-then-relaxed state-dict merge (reference load_model,
     modules/utils.py:81-91): leaves present in ``loaded`` with matching shapes
-    overwrite ``params``; mismatches warn (or raise when strict)."""
+    overwrite ``params``; mismatches warn (or raise when strict).
+
+    ``stats`` (optional dict) accumulates ``merged`` / ``kept`` leaf counts
+    so callers can detect a merge that silently matched nothing (e.g. a
+    wrong-config checkpoint in the serving path)."""
     out = {}
+
+    def _count(name):
+        if stats is not None:
+            stats[name] = stats.get(name, 0) + 1
+
     for key, value in params.items():
         path = f"{_path}{key}."
         if key not in loaded:
             if strict:
                 raise KeyError(f"Missing checkpoint key: {path}")
             out[key] = value
+            if stats is not None:
+                n = (len(jax.tree_util.tree_leaves(value))
+                     if isinstance(value, dict) else 1)
+                stats["kept"] = stats.get("kept", 0) + n
             continue
         lv = loaded[key]
         if isinstance(value, dict):
-            out[key] = merge_params(value, lv, strict=strict, log=log, _path=path)
+            out[key] = merge_params(value, lv, strict=strict, log=log,
+                                    stats=stats, _path=path)
         else:
             lv = jnp.asarray(lv)
             if lv.shape != jnp.shape(value):
@@ -157,6 +172,8 @@ def merge_params(params: Dict, loaded: Dict, strict: bool = False, log=None,
                 if log:
                     log(f"[WARNING] {msg}; keeping initialized value.")
                 out[key] = value
+                _count("kept")
             else:
                 out[key] = lv.astype(jnp.asarray(value).dtype)
+                _count("merged")
     return out

@@ -46,7 +46,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .inference import VTAMIQScorer
+from .inference import VTAMIQScorer, preference_from_scores
 
 
 def _batch_ladder(max_batch: int) -> List[int]:
@@ -98,26 +98,44 @@ class MicroBatcher:
     # -- public ---------------------------------------------------------------
 
     def start(self) -> "MicroBatcher":
-        if self._thread is None:
-            self._stop.clear()
-            self._thread = threading.Thread(target=self._run, daemon=True)
-            self._thread.start()
+        t = self._thread
+        if t is not None and t.is_alive():
+            if self._stop.is_set():
+                # a timed-out stop() left the old loop draining; spawning a
+                # second dispatcher would split batches permanently
+                raise RuntimeError(
+                    "previous stop() timed out and its dispatcher is still "
+                    "running; wait for it to exit before restarting")
+            return self  # already running
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
         return self
 
     def stop(self, timeout: float = 5.0):
         self._stop.set()
-        if self._thread is not None:
-            self._thread.join(timeout)
-            self._thread = None
+        t = self._thread
+        if t is not None:
+            t.join(timeout)
+            if not t.is_alive():
+                self._thread = None
+            # else: keep the handle — start() must not run two loops
         # never abandon a pending future: callers blocked in result() with
-        # no timeout would hang forever
-        while True:
-            try:
-                (_r, _d, fut) = self._queue.get_nowait()
-            except queue.Empty:
-                break
-            if not fut.done():
-                fut.set_exception(RuntimeError("batcher stopped"))
+        # no timeout would hang forever. Two passes: submit() checks _stop
+        # before enqueuing, but a request racing the flag can still land
+        # after the first drain.
+        for _ in range(2):
+            while True:
+                try:
+                    (_r, _d, fut) = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                try:
+                    if not fut.done():
+                        fut.set_exception(RuntimeError("batcher stopped"))
+                except InvalidStateError:
+                    pass  # caller cancelled between the check and here
+            time.sleep(0.01)
 
     def _exec_key(self, shape) -> tuple:
         """The executable the request will compile/run: its canonical bucket
@@ -131,6 +149,12 @@ class MicroBatcher:
     def submit(self, ref: np.ndarray, dist: np.ndarray) -> "Future[float]":
         if ref.shape != dist.shape:
             raise ValueError(f"ref {ref.shape} != dist {dist.shape}")
+        if self._stop.is_set():
+            # stopping/stopped: nothing will ever service the future — fail
+            # retryable instead of handing out a hang (stop() double-drains
+            # to catch the remaining enqueue race)
+            self.stats["rejected"] += 1
+            raise QueueFullError("batcher is stopped; retry later")
         if self.restrict_to_warmed and \
                 self._exec_key(ref.shape) not in self._warmed_shapes:
             self.stats["rejected"] += 1
@@ -275,6 +299,9 @@ class _Handler(BaseHTTPRequestHandler):
     # attached by ScoringServer
     batcher: MicroBatcher = None
     request_timeout_s: float = 60.0
+    max_body_bytes: int = 256 << 20  # an unbounded Content-Length read
+    # would let one request OOM the process (and a killed TPU-attached
+    # process wedges the chip claim — CLAUDE.md env rule 2)
 
     def log_message(self, *args):  # quiet by default
         pass
@@ -296,6 +323,10 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self):
         try:
             length = int(self.headers.get("Content-Length", 0))
+            if length > self.max_body_bytes:
+                self._reply(413, {"error": f"body {length} bytes exceeds "
+                                           f"limit {self.max_body_bytes}"})
+                return
             body = self.rfile.read(length)
             if self.path == "/score":
                 ref, dist = _load_npz(body, ("ref", "dist"))
@@ -313,15 +344,18 @@ class _Handler(BaseHTTPRequestHandler):
                     # device slot nobody will read
                     fa.cancel()
                     raise
+                # ONE deadline for the whole request: sequential full
+                # timeouts would block the handler up to 2x the advertised
+                # budget under first-compile/overload latency
+                deadline = time.monotonic() + self.request_timeout_s
                 try:
-                    qa = fa.result(self.request_timeout_s)
-                    qb = fb.result(self.request_timeout_s)
+                    qa = fa.result(max(0.0, deadline - time.monotonic()))
+                    qb = fb.result(max(0.0, deadline - time.monotonic()))
                 except _FuturesTimeout:
                     fa.cancel()
                     fb.cancel()
                     raise
-                pref = float(1.0 / (1.0 + np.exp(-(qa - qb))))
-                self._reply(200, {"preference": pref,
+                self._reply(200, {"preference": preference_from_scores(qa, qb),
                                   "q_a": qa, "q_b": qb})
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
@@ -330,8 +364,14 @@ class _Handler(BaseHTTPRequestHandler):
             # error (concurrent.futures.TimeoutError only aliases the
             # builtin on py3.11+, hence the explicit pair)
             self._reply(503, {"error": f"{type(e).__name__}: {e}"})
-        except Exception as e:
+        except (UnknownShapeError, KeyError, ValueError) as e:
+            # malformed payload / unserveable shape: genuinely the client's
             self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+        except Exception as e:
+            # scorer/device failure (e.g. transient 'UNAVAILABLE: TPU device
+            # error'): server-side and retryable — a 400 here would teach
+            # well-behaved clients NOT to retry transient device faults
+            self._reply(502, {"error": f"{type(e).__name__}: {e}"})
 
 
 class ScoringServer:
@@ -340,7 +380,8 @@ class ScoringServer:
     def __init__(self, scorer: VTAMIQScorer, host: str = "127.0.0.1",
                  port: int = 8080, max_batch: int = 16,
                  max_wait_ms: float = 5.0, request_timeout_s: float = 60.0,
-                 max_queue: int = 1024, restrict_to_warmed: bool = False):
+                 max_queue: int = 1024, restrict_to_warmed: bool = False,
+                 max_body_bytes: int = 256 << 20):
         self.batcher = MicroBatcher(scorer, max_batch=max_batch,
                                     max_wait_ms=max_wait_ms,
                                     max_queue=max_queue,
@@ -348,6 +389,7 @@ class ScoringServer:
         handler = type("BoundHandler", (_Handler,), {
             "batcher": self.batcher,
             "request_timeout_s": request_timeout_s,
+            "max_body_bytes": int(max_body_bytes),
         })
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self._thread: Optional[threading.Thread] = None
