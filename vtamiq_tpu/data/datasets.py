@@ -60,9 +60,11 @@ class ImageDataset:
     """Base: name/path + normalization policy (patch_datasets.py:18-85)."""
 
     img_dim: Optional[Tuple[int, int]] = None  # (H, W) when fixed for the
-    # dataset — a GUARANTEE, not a hint: loaders trust it and skip per-item
-    # header size probes (pipeline._item_size_cached). Declare None (as
-    # LIVE/KADIS do) whenever item sizes can vary.
+    # dataset. Loaders verify it against ONE probed item and then trust it
+    # for the whole split (pipeline._fixed_size) — skipping per-item header
+    # probes at startup; a contradicted declaration falls back to per-item
+    # probing with a warning. Declare None (as LIVE/KADIS do) when sizes
+    # can vary.
 
     def __init__(self, name: str, path: str, is_hdr: bool = False,
                  normalize: bool = True, normalize_imagenet: bool = False,

@@ -30,6 +30,9 @@ import numpy as np
 
 from .buckets import assign_bucket, compute_canonical_buckets, pad_to_bucket
 from .datasets import PatchFRIQADataset
+from ..utils import log_warn
+
+_UNRESOLVED = object()  # sentinel: declared-size verification not yet run
 
 ImageBatch = namedtuple(
     "ImageBatch",
@@ -111,6 +114,7 @@ class PatchDatasetLoader:
         self.process_count = max(1, int(process_count))
         self._epoch = 0
         self._size_cache: Dict[int, Tuple[int, int]] = {}
+        self._fixed_size_cache = _UNRESOLVED
 
     # -- iteration ----------------------------------------------------------
 
@@ -136,7 +140,7 @@ class PatchDatasetLoader:
         the epoch permutation). Sizes come from cached header reads."""
         reps = self.num_repeats_data
         bs = self._assembly_batch_size()
-        if self.dataset.img_dim is not None:
+        if self._fixed_size() is not None:
             # fixed-size dataset (TID/KADID/CSIQ/PIPAL/PieAPP): one size
             # group — O(1) arithmetic, no per-item header reads at startup
             n = len(self.dataset.split_indices(self.split_name))
@@ -173,9 +177,33 @@ class PatchDatasetLoader:
         except Exception:
             return self.dataset.get_img(path, is_ref_img=True).shape[:2]
 
+    def _fixed_size(self) -> Optional[Tuple[int, int]]:
+        """The dataset's declared img_dim, VERIFIED against one probed item
+        (O(1) I/O) — trusted for every index thereafter, so fixed-size
+        datasets skip per-item header reads at startup (TID would otherwise
+        open 3000 headers before step 1; KADIS-700k scale ~700k). A
+        declaration the first item contradicts (tiny synthetic subclasses
+        of real dataset classes) falls back to per-item probing."""
+        if self._fixed_size_cache is _UNRESOLVED:
+            declared = self.dataset.img_dim
+            if declared is not None:
+                indices = self.dataset.split_indices(self.split_name)
+                if len(indices):
+                    actual = self._item_size(int(indices[0]))
+                    if tuple(actual) != tuple(declared):
+                        log_warn(
+                            f"dataset {self.dataset.name}: declared img_dim "
+                            f"{tuple(declared)} != first item's actual size "
+                            f"{actual}; falling back to per-item size probes")
+                        declared = None
+            self._fixed_size_cache = (tuple(declared) if declared is not None
+                                      else None)
+        return self._fixed_size_cache
+
     def _item_size_cached(self, index: int) -> Tuple[int, int]:
-        if self.dataset.img_dim is not None:  # declared fixed size: no I/O
-            return tuple(self.dataset.img_dim)
+        fixed = self._fixed_size()
+        if fixed is not None:
+            return fixed
         size = self._size_cache.get(index)
         if size is None:
             size = self._size_cache[index] = self._item_size(index)
