@@ -61,10 +61,13 @@ CHECKPOINT_EXT = "npz"
 
 def get_model_params(cfg: VTAMIQConfig, checkpoint_file: Optional[str] = None,
                      force_load_pretrained: bool = False, seed: int = 0,
-                     use_pref_module: bool = False) -> Dict:
+                     use_pref_module: bool = False,
+                     preloaded_ckpt: Optional[Dict] = None) -> Dict:
     """Initialize VTAMIQ params; optionally load ImageNet ViT npz weights and
     a framework checkpoint with pretraining gates (reference get_model,
-    train.py:138-190)."""
+    train.py:138-190). ``preloaded_ckpt`` skips the file read when the
+    caller already holds load_checkpoint()'s result (recovery path reads
+    the same ~200 MB npz for the optimizer leaves)."""
     params = init_vtamiq_params(jax.random.PRNGKey(seed), cfg)
 
     vit_npz = cfg.vit.vit_weights_path
@@ -78,9 +81,11 @@ def get_model_params(cfg: VTAMIQConfig, checkpoint_file: Optional[str] = None,
     if use_pref_module:
         params["pref_module"] = init_preference_params(**C.pref_module_config)
 
-    if checkpoint_file is not None:
-        log(f"Loading checkpoint file '{checkpoint_file}'")
-        ckpt = load_checkpoint(checkpoint_file)
+    if checkpoint_file is not None or preloaded_ckpt is not None:
+        ckpt = preloaded_ckpt
+        if ckpt is None:
+            log(f"Loading checkpoint file '{checkpoint_file}'")
+            ckpt = load_checkpoint(checkpoint_file)
         state = ckpt.get(MODEL_STATE_DICT, {})
         if not force_load_pretrained:
             state = apply_pretraining_gates(
@@ -98,19 +103,28 @@ def get_model_params(cfg: VTAMIQConfig, checkpoint_file: Optional[str] = None,
 
 
 def _save(output_dir: str, filename: str, params: Dict, epoch: int, srocc: float,
-          opt_state=None):
+          opt_state=None, extra_meta: Optional[Dict] = None):
     if not _is_coordinator():  # multi-host: process 0 owns checkpoints
         return
     models = {MODEL_STATE_DICT: {k: v for k, v in params.items() if k != "pref_module"}}
     if "pref_module" in params:
         models[PREF_MODULE_STATE_DICT] = params["pref_module"]
     save_checkpoint(output_dir, filename, models, epoch, srocc,
-                    opt_state=opt_state if C.global_config["save_optimizer"] else None)
+                    opt_state=opt_state if C.global_config["save_optimizer"] else None,
+                    extra_meta=extra_meta)
 
 
 # --------------------------------------------------------------------------
 # epoch loops
 # --------------------------------------------------------------------------
+
+def _full_size_hw(batch, xp):
+    """Synthesized per-item true-size array for exact-size batches (every
+    item fills the full raw (H, W)); one definition for the single-host
+    (jnp) and multi-host (np) batch paths."""
+    return xp.tile(xp.asarray(batch.imgs_raw.shape[2:4], xp.int32)[None],
+                   (batch.imgs_raw.shape[0], 1))
+
 
 def _batch_arrays(batch, need_hw: bool = False):
     """Device arrays for one host batch. ``img_hw`` (true sizes for padded
@@ -123,14 +137,14 @@ def _batch_arrays(batch, need_hw: bool = False):
     if hw is not None:
         hw = jnp.asarray(hw)
     elif need_hw:
-        hw = jnp.tile(jnp.asarray(raw.shape[2:4], jnp.int32)[None],
-                      (raw.shape[0], 1))
+        hw = _full_size_hw(batch, jnp)
     return raw, qs, hw
 
 
 def _is_coordinator() -> bool:
     """Checkpoints/logs are written by process 0 only (multi-host)."""
-    return jax.process_index() == 0
+    from ..parallel.distributed import is_coordinator
+    return is_coordinator()
 
 
 def _batch_device_arrays(batch, mesh):
@@ -146,8 +160,7 @@ def _batch_device_arrays(batch, mesh):
         from ..parallel import distributed as D
         hw = getattr(batch, "img_hw", None)
         if hw is None:
-            hw = np.tile(np.asarray(batch.imgs_raw.shape[2:4], np.int32)[None],
-                         (batch.imgs_raw.shape[0], 1))
+            hw = _full_size_hw(batch, np)
         g = batch.qs.shape[0] * nproc
         raw, qs, hw = D.global_batch(
             mesh, (np.asarray(batch.imgs_raw, np.float32),
@@ -312,6 +325,13 @@ def do_validation(eval_step, params, loader, key, loss_weights, *,
                 prefix = f"{tag}-" if tag else ""
                 writer.add_scalar(split_name, prefix + "loss", float(metrics["loss"]),
                                   step, force_add=True)
+                if not is_pairwise:
+                    # component series too (reference writer_log_losses on
+                    # val/test batches, train.py:625-629)
+                    for name in ("mae", "rank", "pears"):
+                        writer.add_scalar(split_name, f"{prefix}{name}_loss",
+                                          float(metrics[name]), step,
+                                          force_add=True)
             if output_logger is not None:
                 output_logger(i, tag, ",".join(str(x) for x in yps[-1]))
             step += 1
@@ -372,6 +392,11 @@ def train():
             from jax.experimental import multihost_utils
             seed = int(multihost_utils.broadcast_one_to_all(
                 np.int64(seed)))
+    # write the RESOLVED seed back: dataloaders read global_config["seed"]
+    # (config.py get_dataloaders) and save_configs records it — without this
+    # a seed=-1 run built every loader with seed 0 (identical shuffle/flip
+    # order across "random" runs) and dumped an unreproducible -1
+    g["seed"] = seed
     np.random.seed(seed)
     key = jax.random.PRNGKey(seed)
 
@@ -469,6 +494,10 @@ def train():
                 C.dataset_config_base.get("randomize_patch_scale_order", False)),
             norm_mean=tuple(norm_mean) if norm_mean is not None else None,
             norm_std=tuple(norm_std) if norm_std is not None else None,
+            # an fp32 run must not quietly round its model inputs to bf16
+            # in the fused gather (ExtractConfig default)
+            gather_dtype=("bfloat16" if compute_dtype == jnp.bfloat16
+                          else "float32"),
             pu_display_encode=bool(g["use_pu"]))
 
     steps_per_epoch = len(loader_train) if loader_train is not None else 1
@@ -478,6 +507,7 @@ def train():
     # full resume: params + optimizer state + epoch (preemption recovery;
     # requires a checkpoint written with save_optimizer=True)
     start_epoch = 1
+    resume_meta: Dict = {}
     resume_file = g.get("resume_checkpoint_file")
     if resume_file:
         from ..models.checkpoint import restore_opt_state
@@ -488,13 +518,15 @@ def train():
             params["pref_module"] = merge_params(
                 params["pref_module"], ckpt[PREF_MODULE_STATE_DICT], log=log)
         if "__opt_leaves__" in ckpt:
-            opt_state = restore_opt_state(optimizer.init(params),
-                                          ckpt["__opt_leaves__"])
+            # opt_state (initialized just above) is the structure template —
+            # merge preserves leaf shapes, so no second optimizer.init
+            opt_state = restore_opt_state(opt_state, ckpt["__opt_leaves__"])
             log("Optimizer state restored.")
         else:
             log_warn("Resume checkpoint has no optimizer state; "
                      "fresh optimizer (schedule restarts).")
         start_epoch = int(ckpt.get("epoch", 0)) + 1
+        resume_meta = ckpt.get("meta", {})
         log(f"Resuming at epoch {start_epoch}.")
 
     train_step = eval_step_val = eval_step_test = None
@@ -551,17 +583,57 @@ def train():
 
     def recover_from_latest():
         """Rebuild (params, opt_state) from latest.npz after a post-donation
-        fault (see do_training); None when no checkpoint exists yet."""
-        path = os.path.join(output_dir, f"latest.{CHECKPOINT_EXT}")
-        if is_debug or not os.path.isfile(path):
-            return None
+        fault (see do_training); None when no checkpoint exists yet.
+
+        Multi-host: latest.npz exists on the COORDINATOR only (_save gates
+        on process 0), so process 0 loads and broadcasts both pytrees; the
+        have-checkpoint / have-optimizer decisions are broadcast first so
+        every process takes the same branch (a split decision would
+        deadlock the collectives)."""
         from ..models.checkpoint import restore_opt_state
-        p = get_model_params(cfg, path, force_load_pretrained=True, seed=seed,
-                             use_pref_module=use_pref_module)
-        ckpt = load_checkpoint(path)
+        path = os.path.join(output_dir, f"latest.{CHECKPOINT_EXT}")
+        nproc = jax.process_count()
+        if nproc <= 1:
+            if is_debug or not os.path.isfile(path):
+                return None
+            ckpt = load_checkpoint(path)
+            p = get_model_params(cfg, path, force_load_pretrained=True,
+                                 seed=seed, use_pref_module=use_pref_module,
+                                 preloaded_ckpt=ckpt)
+            o = optimizer.init(p)
+            if "__opt_leaves__" in ckpt:
+                o = restore_opt_state(o, ckpt["__opt_leaves__"])
+            else:
+                log_warn("Recovery checkpoint has no optimizer state; "
+                         "optimizer restarts from init.")
+            if mesh is not None:
+                p = shard_params(p, mesh)
+            return p, o
+
+        from jax.experimental import multihost_utils
+        ckpt = None
+        if _is_coordinator() and not is_debug and os.path.isfile(path):
+            ckpt = load_checkpoint(path)
+        flags = multihost_utils.broadcast_one_to_all(np.asarray(
+            [1 if ckpt is not None else 0,
+             1 if (ckpt is not None and "__opt_leaves__" in ckpt) else 0],
+            np.int32))
+        if not int(flags[0]):
+            return None
+        p = get_model_params(cfg, path if ckpt is not None else None,
+                             force_load_pretrained=True, seed=seed,
+                             use_pref_module=use_pref_module,
+                             preloaded_ckpt=ckpt)  # non-coord: shape template
+        host_p = jax.tree_util.tree_map(np.asarray, p)
+        host_p = multihost_utils.broadcast_one_to_all(host_p)
+        p = jax.tree_util.tree_map(jnp.asarray, host_p)
         o = optimizer.init(p)
-        if "__opt_leaves__" in ckpt:
-            o = restore_opt_state(o, ckpt["__opt_leaves__"])
+        if int(flags[1]):
+            leaves = ([np.asarray(x) for x in ckpt["__opt_leaves__"]]
+                      if ckpt is not None else
+                      [np.asarray(x) for x in jax.tree_util.tree_leaves(o)])
+            leaves = list(multihost_utils.broadcast_one_to_all(leaves))
+            o = restore_opt_state(o, leaves)
         else:
             log_warn("Recovery checkpoint has no optimizer state; optimizer "
                      "restarts from init.")
@@ -576,6 +648,45 @@ def train():
     correlations = None
     global_step_train = 0
     global_step_val = 0
+
+    if resume_file and resume_meta:
+        # restore the RUN state, not just params+opt: otherwise the first
+        # post-resume epochs always overwrite best.npz even when worse than
+        # the pre-preemption best, decayed loss weights restart undecayed,
+        # and TB step counters overlap the pre-preemption series
+        if "best_srocc_train" in resume_meta:
+            best_spearman_train.add(float(resume_meta["best_srocc_train"]))
+        if "best_srocc_val" in resume_meta:
+            best_spearman_val.add(float(resume_meta["best_srocc_val"]))
+        best_spearman = float(resume_meta.get("best_srocc", best_spearman))
+        # the meta snapshots the weights the SAVED epoch trained with
+        # (checkpoints are written before the end-of-epoch decay,
+        # reference train.py:899-901); the run resumes at epoch+1, so
+        # apply the one decay the preempted run never reached
+        if "w_mae" in resume_meta:
+            w_mae = float(resume_meta["w_mae"]) * g["weight_mae_loss_decay"]
+        if "w_rank" in resume_meta:
+            w_rank = float(resume_meta["w_rank"]) * g["weight_rank_loss_decay"]
+        if "w_pears" in resume_meta:
+            w_pears = (float(resume_meta["w_pears"])
+                       * g["weight_pears_loss_decay"])
+        global_step_train = int(resume_meta.get("global_step_train", 0))
+        global_step_val = int(resume_meta.get("global_step_val", 0))
+        log("Run state restored from checkpoint meta (best SROCC trackers, "
+            "loss-weight decay, TB step counters).")
+
+    def run_meta():
+        """Run-state snapshot stored in every checkpoint's meta (consumed by
+        the resume path above; plain JSON-safe scalars)."""
+        meta = {"w_mae": w_mae, "w_rank": w_rank, "w_pears": w_pears,
+                "global_step_train": global_step_train,
+                "global_step_val": global_step_val,
+                "best_srocc": best_spearman}
+        if best_spearman_train.value() is not None:
+            meta["best_srocc_train"] = best_spearman_train.value()
+        if best_spearman_val.value() is not None:
+            meta["best_srocc_val"] = best_spearman_val.value()
+        return meta
 
     if not is_debug:
         C.save_configs(output_dir)
@@ -604,9 +715,16 @@ def train():
                 recover_fn=recover_from_latest)
 
             if not is_debug and writer is not None:
-                # per-epoch LR scalar (reference train.py:570-572)
+                # per-epoch LR scalar (reference train.py:570-572,
+                # get_last_lr BEFORE the epoch-end scheduler.step): log the
+                # LR the optimizer actually used this epoch — optax's
+                # scale_by_schedule consumes pre-increment counts, so that
+                # is schedule(last_update_index), not schedule(next_count)
+                lr_log_step = (global_step_train
+                               if g["scheduler_step_per_batch"]
+                               else max(0, global_step_train - 1))
                 writer.add_scalar(C.SPLIT_NAME_TRAIN, "LR",
-                                  float(lr_schedule(global_step_train)), epoch,
+                                  float(lr_schedule(lr_log_step)), epoch,
                                   force_add=True)
 
             is_best_so_far = best_spearman_train.add(correlations[SROCC_FIELD])
@@ -620,7 +738,8 @@ def train():
                 logger_run(f"Saving latest model: epoch=[{epoch}], "
                            f"SROCC=[{correlations[SROCC_FIELD]}]")
                 _save(output_dir, f"latest.{CHECKPOINT_EXT}", params, epoch,
-                      correlations[SROCC_FIELD], opt_state)
+                      correlations[SROCC_FIELD], opt_state,
+                      extra_meta=run_meta())
 
         if do_val_:
             log("Starting Validation loop...")
@@ -647,7 +766,7 @@ def train():
                 if not is_debug:
                     logger_run(f"Saving best model: epoch=[{epoch}], SROCC=[{best_spearman}]")
                     _save(output_dir, f"best.{CHECKPOINT_EXT}", params, epoch,
-                          best_spearman, opt_state)
+                          best_spearman, opt_state, extra_meta=run_meta())
             elif correlations is not None:
                 logger_run(f"Current SROCC {correlations[SROCC_FIELD]}.")
 
@@ -659,6 +778,13 @@ def train():
     if do_test_:
         log("Doing Test.")
         if do_train_ and not is_debug:
+            # the reference reloads ONLY the model for testing; the
+            # preference module keeps its final-epoch in-memory state
+            # (train.py:916-921 rebuilds `model` alone) — preserve that
+            pref_keep = (jax.tree_util.tree_map(np.asarray,
+                                                params["pref_module"])
+                         if use_pref_module and "pref_module" in params
+                         else None)
             saved = "{}/{}.{}".format(
                 output_dir,
                 "latest" if (g["test_use_latest"] and g["train_save_latest"]) else "best",
@@ -680,6 +806,9 @@ def train():
             else:
                 params = get_model_params(cfg, saved, force_load_pretrained=True,
                                           seed=seed, use_pref_module=use_pref_module)
+            if pref_keep is not None:
+                params["pref_module"] = jax.tree_util.tree_map(jnp.asarray,
+                                                               pref_keep)
             if mesh is not None:
                 params = shard_params(params, mesh)
 
