@@ -18,7 +18,8 @@ import time
 
 import numpy as np
 
-__all__ = ["fresh_pair_batch", "timed_median", "ImplausiblyFast"]
+__all__ = ["fresh_pair_batch", "timed_median", "timed_stats",
+           "ImplausiblyFast"]
 
 
 class ImplausiblyFast(RuntimeError):
@@ -40,9 +41,11 @@ def fresh_pair_batch(batch: int, h: int, w: int, seed_extra: int = 0):
     return raw, jax.random.PRNGKey(s)
 
 
-def timed_median(fn, pairs_per_call: float, bound: float,
-                 trials: int = 2) -> float:
-    """Median pairs/sec over ``trials`` plausible timings of ``fn(t)``.
+def timed_stats(fn, pairs_per_call: float, bound: float,
+                trials: int = 3) -> dict:
+    """{median, min, max, trials} pairs/sec over ``trials`` plausible
+    timings of ``fn(t)`` — the per-config spread VERDICT r03 item 3 demands
+    so round-over-round deltas can be told apart from relay noise.
 
     ``fn(t)`` must consume its result host-side (end in a value ``float()``
     can take) and must vary its device inputs with ``t``. Readings implying
@@ -60,5 +63,15 @@ def timed_median(fn, pairs_per_call: float, bound: float,
             break
     if not times:
         raise ImplausiblyFast("all trials implausibly fast (relay replay)")
-    dt = sorted(times)[len(times) // 2]
-    return pairs_per_call / dt
+    rates = sorted(pairs_per_call / dt for dt in times)
+    return {"median": rates[len(rates) // 2], "min": rates[0],
+            "max": rates[-1], "trials": len(rates)}
+
+
+def timed_median(fn, pairs_per_call: float, bound: float,
+                 trials: int = 2) -> float:
+    """Median pairs/sec (see timed_stats; kept for single-number callers).
+
+    Note the median convention: with an even trial count this returns the
+    UPPER middle rate (sorted()[n//2]), matching round-2/3 readings."""
+    return timed_stats(fn, pairs_per_call, bound, trials)["median"]
