@@ -31,6 +31,12 @@ WARMUP = 1
 ITERS = 60
 CACHE = os.path.join(REPO, ".bench_torch_cpu.json")
 
+# v5e bf16 peak (per chip) for analytic-MFU rows
+PEAK_FLOPS = 197e12
+
+# 5000-patch train batch: the tune5000 production point (tools/profiler.py)
+TRAIN_5000P_BATCH = 4
+
 
 def _enable_compile_cache():
     """DISABLED: executables loaded from the persistent XLA compile cache
@@ -116,7 +122,7 @@ def measure_jax():
                             jnp.float32), jax.random.PRNGKey(s))
 
     def timed_trials(make_fn, n_trials=3, max_rounds=4, sleep_s=45.0):
-        """Median of n plausible timed runs; each round uses fresh random
+        """Sorted list of n plausible timings; each round uses fresh random
         images + keys; implausibly fast (non-executed) trials are discarded
         and the round repeats after a cool-down."""
         times = []
@@ -130,13 +136,13 @@ def measure_jax():
                 if dt >= min_dt:
                     times.append(dt)
             if len(times) >= n_trials:
-                return sorted(times)[len(times) // 2]
+                return sorted(times)
             print(f"bench: round {round_}: implausibly-fast trials discarded "
                   f"(relay served without executing); cooling down "
                   f"{sleep_s:.0f}s and re-drawing fresh inputs", file=sys.stderr)
             time.sleep(sleep_s)
         if times:
-            return sorted(times)[len(times) // 2]
+            return sorted(times)
         raise RuntimeError("all timed trials implausibly fast (relay replay)")
 
     try:
@@ -146,10 +152,15 @@ def measure_jax():
         # 0.000s, then float() waited 97s); only a device->host transfer
         # reliably barriers. All timed consumption below uses float().
         float(pipeline_n(params, raw, jax.random.fold_in(key, 1000)))
-        dt = timed_trials(lambda raw_r: (lambda k: pipeline_n(params, raw_r, k)))
+        dts = timed_trials(lambda raw_r: (lambda k: pipeline_n(params, raw_r, k)))
+        dt = dts[len(dts) // 2]
+        headline_spread = {
+            "min": round(BATCH * ITERS / dts[-1], 3),
+            "max": round(BATCH * ITERS / dts[0], 3), "trials": len(dts)}
     except Exception as e:
         print(f"fused pipeline failed ({type(e).__name__}); "
               f"falling back to split stages", file=sys.stderr)
+        headline_spread = None  # single split-stage reading, no spread
         split_run(params, raw, key, 2)  # warmup/compile
         dt = None
         for attempt in range(3):
@@ -206,14 +217,24 @@ def measure_jax():
             dt_t = time.perf_counter() - t0
             if BATCH * n_train / dt_t < train_bound:
                 times.append(dt_t)
-            if len(times) == 2:
+            if len(times) == 3:
                 break
-        train_pairs_per_sec = BATCH * n_train / min(times) if times else None
+        if times:
+            times.sort()
+            train_pairs_per_sec = BATCH * n_train / times[len(times) // 2]
+            train_spread = {
+                "min": round(BATCH * n_train / times[-1], 3),
+                "max": round(BATCH * n_train / times[0], 3),
+                "trials": len(times)}
+        else:
+            train_spread = None
     except Exception as e:
+        train_spread = None
         print(f"train-step bench failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     device = str(jax.devices()[0])
-    return pairs_per_sec, train_pairs_per_sec, device
+    return (pairs_per_sec, headline_spread, train_pairs_per_sec,
+            train_spread, device)
 
 
 def measure_extra_configs(budget_s: float = 1500.0):
@@ -247,13 +268,23 @@ def measure_extra_configs(budget_s: float = 1500.0):
     results = {}
 
     # one shared implementation of the fresh-inputs + plausibility-filtered
-    # median methodology (also used by tools/profiler.py)
-    from vtamiq_tpu.utils.benchharness import fresh_pair_batch, timed_median
+    # median methodology (also used by tools/profiler.py). Round-4: every
+    # row carries {median, min, max, trials} (VERDICT r03 item 3 — single
+    # readings can't be told apart from relay noise round-over-round) plus
+    # an analytic-FLOPs MFU lower bound (model matmuls only; extraction,
+    # sampling, and optimizer work aren't counted, so true utilization is
+    # higher than the printed figure).
+    from vtamiq_tpu.utils.benchharness import fresh_pair_batch, timed_stats
+    from vtamiq_tpu.models.utils import vtamiq_flops
 
     def fresh(batch, seed_extra=0):
         return fresh_pair_batch(batch, IMG_H, IMG_W, seed_extra)
 
-    timed = timed_median
+    def row(stats, flops_per_pair):
+        out = {k: (round(v, 3) if k != "trials" else v)
+               for k, v in stats.items()}
+        out["mfu"] = round(stats["median"] * flops_per_pair / PEAK_FLOPS, 4)
+        return out
 
     def fused_infer(sampler, ecfg, batch, iters, bound):
         extract = make_extract_fn(sampler, ecfg)
@@ -268,8 +299,40 @@ def measure_extra_configs(budget_s: float = 1500.0):
 
         raw, key = fresh(batch)
         float(loop(params, raw, jax.random.fold_in(key, 999)))  # compile
-        return timed(lambda t: loop(params, raw, jax.random.fold_in(key, t)),
-                     batch * iters, bound)
+        stats = timed_stats(
+            lambda t: loop(params, raw, jax.random.fold_in(key, t)),
+            batch * iters, bound)
+        return row(stats, vtamiq_flops(cfg, ecfg.patch_count))
+
+    def fused_train(sampler, ecfg, batch, n_steps, bound, seed_extra=0):
+        """Shared train-step row: sampling -> extraction -> fwd/bwd -> AdamW.
+        fwd+bwd ~ 3x the forward FLOPs for the MFU bound."""
+        import optax
+        from vtamiq_tpu.train.steps import make_train_step
+        from vtamiq_tpu.train.optim import build_freeze_mask
+        optimizer = optax.adamw(5e-5, weight_decay=0.01)
+        t_params = init_vtamiq_params(jax.random.PRNGKey(1), cfg)
+        opt_state = optimizer.init(t_params)
+        mask = build_freeze_mask(t_params, False, None)
+        step = make_train_step(cfg, sampler, ecfg, optimizer)
+        raw, key = fresh(batch, seed_extra)
+        rng = np.random.default_rng(int(time.time()) & 0x7FFFFFFF)
+        qs = jnp.asarray(rng.uniform(0, 1, (batch,)), jnp.float32)
+        lw = jnp.asarray((1.0, 1.0, 1.0), jnp.float32)
+
+        def run_steps(k, n):
+            nonlocal t_params, opt_state
+            for i in range(n):
+                t_params, opt_state, metrics, _ = step(
+                    t_params, opt_state, mask, raw, qs, jnp.asarray(batch),
+                    jax.random.fold_in(k, i), lw)
+            return float(metrics["loss"])
+
+        run_steps(jax.random.fold_in(key, 77), 1)  # compile
+        stats = timed_stats(
+            lambda t: run_steps(jax.random.fold_in(key, 100 + t), n_steps)
+            or 1.0, batch * n_steps, bound)
+        return row(stats, 3 * vtamiq_flops(cfg, ecfg.patch_count))
 
     # -- weighted-CAPS inference (stratified PERTURBED + magnitude diff) --
     try:
@@ -280,12 +343,25 @@ def measure_extra_configs(budget_s: float = 1500.0):
                                  diff_type=DIFF_TYPE_MAGNITUDE)
         ecfg_w = ExtractConfig(patch_count=PATCHES, patch_dim=16,
                                norm_mean=(0.5 + salt, 0.5, 0.5))
-        results["infer_500p_weighted_caps"] = round(
-            fused_infer(sampler_w, ecfg_w, BATCH, 30, bound=5000.0), 3)
+        results["infer_500p_weighted_caps"] = fused_infer(
+            sampler_w, ecfg_w, BATCH, 30, bound=5000.0)
     except StopIteration:
         pass  # budget skip already recorded
     except Exception as e:
         results["infer_500p_weighted_caps"] = {"error": f"{type(e).__name__}: {e}"}
+
+    # -- weighted-CAPS TRAIN (the one tracked config the round-3 bench
+    # missed — the 123.8 -> 115.2 pairs/s regression was invisible to the
+    # machine-readable record; VERDICT r03 item 3) --
+    try:
+        if over_budget("train_weighted_caps", results):
+            raise StopIteration
+        results["train_weighted_caps"] = fused_train(
+            sampler_w, ecfg_w, BATCH, 5, bound=1500.0, seed_extra=2)
+    except StopIteration:
+        pass  # budget skip already recorded
+    except Exception as e:
+        results["train_weighted_caps"] = {"error": f"{type(e).__name__}: {e}"}
 
     # -- 5000-patch long-context config (Pallas flash attention) --
     sampler_u = PatchSampler()
@@ -294,8 +370,8 @@ def measure_extra_configs(budget_s: float = 1500.0):
     try:
         if over_budget("infer_5000p", results):
             raise StopIteration
-        results["infer_5000p"] = round(
-            fused_infer(sampler_u, ecfg_5k, 2, 8, bound=150.0), 3)
+        results["infer_5000p"] = fused_infer(sampler_u, ecfg_5k, 2, 8,
+                                             bound=150.0)
     except StopIteration:
         pass  # budget skip already recorded
     except Exception as e:
@@ -304,34 +380,9 @@ def measure_extra_configs(budget_s: float = 1500.0):
     try:
         if over_budget("train_5000p", results):
             raise StopIteration
-        import optax
-        from vtamiq_tpu.train.steps import make_train_step
-        from vtamiq_tpu.train.optim import build_freeze_mask
-        optimizer = optax.adamw(5e-5, weight_decay=0.01)
-        t_params = init_vtamiq_params(jax.random.PRNGKey(1), cfg)
-        opt_state = optimizer.init(t_params)
-        mask = build_freeze_mask(t_params, False, None)
-        step = make_train_step(cfg, sampler_u, ecfg_5k, optimizer)
-        b5 = 2
-        raw, key = fresh(b5, 1)
-        rng = np.random.default_rng(int(time.time()) & 0x7FFFFFFF)
-        qs = jnp.asarray(rng.uniform(0, 1, (b5,)), jnp.float32)
-        lw = jnp.asarray((1.0, 1.0, 1.0), jnp.float32)
-
-        def run_steps(k, n):
-            nonlocal t_params, opt_state
-            for i in range(n):
-                t_params, opt_state, metrics, _ = step(
-                    t_params, opt_state, mask, raw, qs, jnp.asarray(b5),
-                    jax.random.fold_in(k, i), lw)
-            return float(metrics["loss"])
-
-        run_steps(jax.random.fold_in(key, 77), 1)  # compile
-        n_steps = 5
-        results["train_5000p"] = round(
-            timed(lambda t: run_steps(jax.random.fold_in(key, 100 + t),
-                                      n_steps) or 1.0,
-                  b5 * n_steps, bound=80.0), 3)
+        results["train_5000p"] = fused_train(
+            sampler_u, ecfg_5k, TRAIN_5000P_BATCH, 5, bound=80.0,
+            seed_extra=1)
     except StopIteration:
         pass  # budget skip already recorded
     except Exception as e:
@@ -362,6 +413,14 @@ def measure_extra_configs(budget_s: float = 1500.0):
             results["serving_p50_ms"] = round(lat[len(lat) // 2], 1)
             results["serving_p99_ms"] = round(lat[min(len(lat) - 1,
                                                       int(len(lat) * 0.99))], 1)
+            # distribution detail so round-over-round percentile deltas can
+            # be judged against within-run spread (VERDICT r03 items 3/7)
+            results["serving_lat_ms"] = {
+                "min": round(lat[0], 1), "max": round(lat[-1], 1),
+                "mean": round(sum(lat) / len(lat), 1),
+                "p90": round(lat[int(len(lat) * 0.90)], 1), "n": len(lat),
+                "protocol": "1 sequential client, 40 requests, "
+                            "warmed 384x512 shape, MicroBatcher max_batch=4"}
         finally:
             mb.stop()
     except StopIteration:
@@ -463,7 +522,7 @@ def measure_torch_cpu_baseline():
 
 def main():
     headline_only = "--headline-only" in sys.argv
-    value, train_value, device = measure_jax()
+    value, spread, train_value, train_spread, device = measure_jax()
     try:
         baseline = measure_torch_cpu_baseline()
     except Exception as e:
@@ -477,8 +536,18 @@ def main():
         "unit": "pairs/sec",
         "vs_baseline": round(vs, 3),
     }
+    from vtamiq_tpu.models.configs import get_vit_config, VTAMIQConfig
+    from vtamiq_tpu.models.utils import vtamiq_flops
+    fl = vtamiq_flops(VTAMIQConfig(vit=get_vit_config(
+        num_keep_layers=6, num_extra_tokens=8)), PATCHES)
+    out["mfu"] = round(value * fl / PEAK_FLOPS, 4)
+    if spread is not None:
+        out["spread"] = spread
     if train_value is not None:
         out["train_pairs_per_sec"] = round(train_value, 3)
+        out["train_mfu"] = round(train_value * 3 * fl / PEAK_FLOPS, 4)
+        if train_spread is not None:
+            out["train_spread"] = train_spread
     if not headline_only:
         try:
             out["configs"] = measure_extra_configs()

@@ -171,6 +171,34 @@ class TestFlashAttention:
         assert float(jnp.abs(g1[1][:, 160:]).max()) == 0.0
         assert float(jnp.abs(g1[2][:, 160:]).max()) == 0.0
 
+    def test_fused_backward_matches_split(self):
+        """The single-pass fused backward (5 matmuls/tile, dq via per-k-block
+        fp32 partials) against the split dq+dkv kernel pair AND exact
+        autodiff — same grads from either kernel arrangement (round-4
+        VERDICT item 2; masked + padded to cover the mask plumbing)."""
+        from jax.experimental.pallas import tpu as pltpu
+        q, k, v = make_qkv(b=2, s=200, h=2, d=32, seed=13)  # pads to 256
+        mask = jnp.ones((2, 200), bool).at[:, 170:].set(False)
+
+        def loss(fused):
+            def f(q, k, v):
+                return jnp.sum(flash_attention(
+                    q, k, v, mask, block_q=128, block_k=128,
+                    use_pallas=True, fused_bwd=fused) ** 2)
+            return f
+
+        with pltpu.force_tpu_interpret_mode():
+            g_fused = jax.grad(loss(True), argnums=(0, 1, 2))(q, k, v)
+            g_split = jax.grad(loss(False), argnums=(0, 1, 2))(q, k, v)
+        g_exact = jax.grad(
+            lambda q, k, v: jnp.sum(exact_attention(q, k, v, mask) ** 2),
+            argnums=(0, 1, 2))(q, k, v)
+        for a, b, e in zip(g_fused, g_split, g_exact):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                       rtol=5e-4, atol=5e-4)
+
 
 class TestAttentionFnIntegration:
     def test_small_seq_uses_exact(self):

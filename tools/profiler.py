@@ -336,20 +336,22 @@ def cmd_tune5000(args):
 
     fl = 3 * 4 * s * s * d * h * b  # fwd+bwd ~ 3x fwd attention flops
     best = (None, float("inf"))
-    # trimmed to 6 candidates: on slow remote-compile days each S~5120 grad
-    # variant can cost 10-20 min to compile (CLAUDE.md round-3 gotchas); the
-    # backward's higher per-program VMEM makes blocks SMALLER than the
-    # forward optimum (512, 1024) the likely winners, so the sweep leans low
-    pairs = [(512, 1024), (512, 512), (256, 1024), (256, 512),
-             (1024, 512), (1024, 1024)]
-    for bq, bk in pairs:
+    # round-4: the sweep candidates are (bq, bk, fused). The fused
+    # single-pass kernel (5 matmuls/tile vs split's 7) is swept over block
+    # pairs; the split pair runs once at its round-3 optimum (1024, 1024)
+    # as the A/B baseline. Candidate count stays bounded for slow
+    # remote-compile days (CLAUDE.md round-3 gotchas).
+    pairs = [(512, 1024, True), (512, 512, True), (1024, 512, True),
+             (1024, 1024, True), (256, 1024, True), (1024, 1024, False)]
+    for bq, bk, fused in pairs:
         if s % bq or s % bk:
             continue
 
-        def loss(q, k, v, bq=bq, bk=bk):
+        def loss(q, k, v, bq=bq, bk=bk, fused=fused):
             return jnp.sum(flash_attention(
                 q, k, v, block_q=512, block_k=1024, bwd_block_q=bq,
-                bwd_block_k=bk, use_pallas=True).astype(jnp.float32) ** 2)
+                bwd_block_k=bk, use_pallas=True,
+                fused_bwd=fused).astype(jnp.float32) ** 2)
         g = jax.grad(loss, argnums=(0, 1, 2))
 
         @jax.jit
@@ -368,16 +370,19 @@ def cmd_tune5000(args):
                 dt = (time.perf_counter() - t0) / 5
                 if fl / dt < 800e12:
                     dts.append(dt)
+            tag = "fused" if fused else "split"
             if not dts:
-                print(f"bwd-bq{bq}-bk{bk}: implausibly fast (memoized?)",
-                      flush=True)
+                print(f"bwd-{tag}-bq{bq}-bk{bk}: implausibly fast "
+                      f"(memoized?)", flush=True)
                 continue
             dt = sorted(dts)[len(dts) // 2]
-            print(f"bwd-bq{bq}-bk{bk}: {dt * 1e3:.1f} ms/grad", flush=True)
-            if dt < best[1]:
+            print(f"bwd-{tag}-bq{bq}-bk{bk}: {dt * 1e3:.1f} ms/grad",
+                  flush=True)
+            if fused and dt < best[1]:
                 best = ((bq, bk), dt)
         except Exception as e:
-            print(f"bwd-bq{bq}-bk{bk}: FAILED {type(e).__name__}: {e}",
+            tag = "fused" if fused else "split"
+            print(f"bwd-{tag}-bq{bq}-bk{bk}: FAILED {type(e).__name__}: {e}",
                   flush=True)
     if best[0] is None:
         print("stage 1 produced no plausible readings; aborting", flush=True)
@@ -395,7 +400,9 @@ def cmd_tune5000(args):
     # the round-2 production point (4, remat), non-remat at the same batch
     # (the Pallas backward no longer needs the recompute, so paying full
     # activation storage may now beat recompute), and the batch neighbors
-    for batch, remat in ((4, True), (4, False), (8, True), (2, True)):
+    # round-4 grid: no-remat won at batch 4 (round 3), so probe batch 8
+    # both ways — the VERDICT-r03 lever is batch 4->8 if HBM allows
+    for batch, remat in ((4, False), (8, False), (8, True), (4, True)):
         cfg = VTAMIQConfig(vit=dataclasses.replace(
             get_vit_config(num_keep_layers=args.layers,
                            num_extra_tokens=8), remat=remat))

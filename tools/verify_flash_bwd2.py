@@ -39,8 +39,12 @@ def main():
 
     fns = {
         "exact": loss(lambda q, k, v: exact(q, k, v, mask)),
-        "pallas": loss(lambda q, k, v: flash_attention(
-            q, k, v, mask, block_q=BQ, block_k=BK, use_pallas=True)),
+        "pallas_fused": loss(lambda q, k, v: flash_attention(
+            q, k, v, mask, block_q=BQ, block_k=BK, use_pallas=True,
+            fused_bwd=True)),
+        "pallas_split": loss(lambda q, k, v: flash_attention(
+            q, k, v, mask, block_q=BQ, block_k=BK, use_pallas=True,
+            fused_bwd=False)),
         "recompute": loss(lambda q, k, v: flash_attention(
             q, k, v, mask, block_q=BQ, block_k=BK, use_pallas=False)),
     }
@@ -52,7 +56,7 @@ def main():
         grads[name] = [np.asarray(x) for x in g]
         print(f"{name}: {time.time()-t0:.1f}s |g|={s:.6e}", flush=True)
 
-    for name in ("pallas", "recompute"):
+    for name in ("pallas_fused", "pallas_split", "recompute"):
         for comp, a, b in zip("dq dk dv".split(), grads[name], grads["exact"]):
             denom = max(1e-6, float(np.abs(b).max()))
             rel = float(np.abs(a - b).max()) / denom

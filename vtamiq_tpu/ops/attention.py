@@ -297,8 +297,95 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
+def _flash_bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                            mask_ref, dq_part_ref, dk_ref, dv_ref,
+                            dk_acc, dv_acc, *, scale, nq):
+    """Single-pass backward: grid (B, H, nK, nQ) with the q axis innermost.
+
+    Per (k-block, q-block) tile this computes the minimal FIVE matmuls
+    (logits, dP, dV, dK, dQ) where the split dq/dkv kernels compute seven
+    (each recomputes logits and dP) — a ~2/7 cut of backward matmul FLOPs
+    plus one fewer pass over q/k/v/do in HBM. dk/dv accumulate in VMEM
+    scratch across the sequential q axis; dq cannot (its block changes every
+    inner step and is revisited per k-block), so each tile's complete dq
+    contribution is written to a per-k-block fp32 partial, summed by XLA
+    outside the kernel — the same accumulation pattern as the public
+    splash-attention fused backward."""
+    q_idx = pl.program_id(3)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0, 0]                                # (BQ, D)
+    k = k_ref[0, 0]                                # (BK, D)
+    v = v_ref[0, 0]                                # (BK, D)
+    do = do_ref[0, 0]                              # (BQ, D)
+    lse = lse_ref[0, 0]                            # (BQ, 1)
+    delta = delta_ref[0, 0]                        # (BQ, 1)
+    kmask = mask_ref[0, 0] != 0                    # (BK,)
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    logits = jnp.where(kmask[None, :], logits, NEG_INF)
+    p = jnp.exp(logits - lse)                      # (BQ, BK) fp32
+    dv_acc[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)         # (BK, D)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)         # (BQ, BK)
+    ds = (p * (dp - delta) * scale).astype(q.dtype)
+    dk_acc[...] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)         # (BK, D)
+    dq_part_ref[0, 0, 0] = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)         # (BQ, D) fp32 partial
+
+    @pl.when(q_idx == nq - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _flash_backward_fused(q, k, v, do, lse, delta, mask_i, block_q, block_k):
+    """Fused-kernel driver: one pallas_call -> (dq, dk, dv)."""
+    b, h, s, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    nq = s // block_q
+    nk = s // block_k
+
+    q_spec = pl.BlockSpec((1, 1, block_q, d),
+                          lambda bi, hi, ki, qi: (bi, hi, qi, 0))
+    k_spec = pl.BlockSpec((1, 1, block_k, d),
+                          lambda bi, hi, ki, qi: (bi, hi, ki, 0))
+    r_spec = pl.BlockSpec((1, 1, block_q, 1),
+                          lambda bi, hi, ki, qi: (bi, hi, qi, 0))
+    m_spec = pl.BlockSpec((1, 1, block_k),
+                          lambda bi, hi, ki, qi: (bi, 0, ki))
+    dq_part_spec = pl.BlockSpec((1, 1, 1, block_q, d),
+                                lambda bi, hi, ki, qi: (ki, bi, hi, qi, 0))
+
+    dq_part, dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_fused_kernel, scale=scale, nq=nq),
+        grid=(b, h, nk, nq),
+        in_specs=[q_spec, k_spec, k_spec, q_spec, r_spec, r_spec, m_spec],
+        out_specs=[dq_part_spec, k_spec, k_spec],
+        out_shape=[jax.ShapeDtypeStruct((nk, b, h, s, d), jnp.float32),
+                   jax.ShapeDtypeStruct((b, h, s, d), k.dtype),
+                   jax.ShapeDtypeStruct((b, h, s, d), v.dtype)],
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                        pltpu.VMEM((block_k, d), jnp.float32)],
+    )(q, k, v, do, lse, delta, mask_i)
+    dq = jnp.sum(dq_part, axis=0).astype(q.dtype)
+    return dq, dk, dv
+
+
 def _flash_backward(q, k, v, do, out, lse, mask, block_q, block_k,
-                    delta=None):
+                    delta=None, fused=True):
     """(B, H, S, D) tensors + lse (B, H, S, 1) -> (dq, dk, dv).
 
     lse/delta keep a trailing singleton axis so their blocks are (BQ, 1)
@@ -314,6 +401,10 @@ def _flash_backward(q, k, v, do, out, lse, mask, block_q, block_k,
         delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
                         axis=-1, keepdims=True)     # (B, H, S, 1)
     mask_i = mask.astype(jnp.int32)[:, None, :]     # (B, 1, S)
+
+    if fused:
+        return _flash_backward_fused(q, k, v, do, lse, delta, mask_i,
+                                     block_q, block_k)
 
     q_spec_q = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0))
     k_spec_q = pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0))
@@ -395,15 +486,15 @@ def _attn_padded(q, k, v, mask, block_q, block_k, use_pallas,
     return out[:, :s] if pad else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def _flash_attention_impl(q, k, v, block_q, block_k, bwd_block_q,
-                          bwd_block_k, use_pallas, mask):
+                          bwd_block_k, use_pallas, fused_bwd, mask):
     return _attn_padded(q, k, v, mask, block_q, block_k, use_pallas,
                         bwd_block_q=bwd_block_q, bwd_block_k=bwd_block_k)
 
 
 def _flash_fwd_rule(q, k, v, block_q, block_k, bwd_block_q, bwd_block_k,
-                    use_pallas, mask):
+                    use_pallas, fused_bwd, mask):
     out, res = _attn_padded(q, k, v, mask, block_q, block_k, use_pallas,
                             with_residuals=True, bwd_block_q=bwd_block_q,
                             bwd_block_k=bwd_block_k)
@@ -411,7 +502,7 @@ def _flash_fwd_rule(q, k, v, block_q, block_k, bwd_block_q, bwd_block_k,
 
 
 def _flash_bwd_rule(block_q, block_k, bwd_block_q, bwd_block_k, use_pallas,
-                    residuals, g):
+                    fused_bwd, residuals, g):
     """Pallas path: FlashAttention-2 dq/dkv kernels over the saved
     (out, lse) — no forward recompute, no (S, S) tensor — at their own
     (bwd_block_q, bwd_block_k) tiling (the backward holds more per-program
@@ -428,7 +519,8 @@ def _flash_bwd_rule(block_q, block_k, bwd_block_q, bwd_block_k, use_pallas,
         kt = _pad_seq(k, pad).transpose(0, 2, 1, 3)
         vt = _pad_seq(v, pad).transpose(0, 2, 1, 3)
         dq, dk, dv = _flash_backward(qt, kt, vt, gt, out_t, lse, mask_pad,
-                                     bwd_block_q, bwd_block_k)
+                                     bwd_block_q, bwd_block_k,
+                                     fused=fused_bwd)
         dq = dq.transpose(0, 2, 1, 3)[:, :s]
         dk = dk.transpose(0, 2, 1, 3)[:, :s]
         dv = dv.transpose(0, 2, 1, 3)[:, :s]
@@ -450,26 +542,32 @@ def flash_attention(q, k, v, mask: Optional[jnp.ndarray] = None, *,
                     block_k: int = DEFAULT_BLOCK_K,
                     bwd_block_q: Optional[int] = None,
                     bwd_block_k: Optional[int] = None,
-                    use_pallas: Optional[bool] = None):
+                    use_pallas: Optional[bool] = None,
+                    fused_bwd: bool = True):
     """Flash attention over (B, S, H, D) tensors with optional (B, S) key mask.
 
     ``use_pallas=None`` auto-selects: the Pallas kernel on TPU, the XLA
     blockwise scan elsewhere (CPU tests, interpret mode).
     ``bwd_block_q``/``bwd_block_k`` tile the backward kernels independently
     of the forward (default: same as forward).
+    ``fused_bwd`` selects the single-pass backward kernel (5 matmuls/tile)
+    over the split dq + dkv pair (7 matmuls/tile); split kept for A/B
+    profiling (`tools/profiler.py tune5000`).
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     return _flash_attention_impl(q, k, v, block_q, block_k,
                                  bwd_block_q or block_q,
-                                 bwd_block_k or block_k, use_pallas, mask)
+                                 bwd_block_k or block_k, use_pallas,
+                                 fused_bwd, mask)
 
 
 def make_attention_fn(threshold: int = 2048,
                       block_q: Optional[int] = None,
                       block_k: Optional[int] = None,
                       bwd_block_q: Optional[int] = None,
-                      bwd_block_k: Optional[int] = None):
+                      bwd_block_k: Optional[int] = None,
+                      fused_bwd: bool = True):
     """attention_fn for vit.mhsa: flash attention for sequences past the
     threshold, plain XLA attention below it (small-S full attention is faster
     and XLA fuses it well). Block sizes default to the module-level tuned
@@ -491,6 +589,7 @@ def make_attention_fn(threshold: int = 2048,
             block_q=block_q or DEFAULT_BLOCK_Q,
             block_k=block_k or DEFAULT_BLOCK_K,
             bwd_block_q=bwd_block_q or DEFAULT_BWD_BLOCK_Q,
-            bwd_block_k=bwd_block_k or DEFAULT_BWD_BLOCK_K)
+            bwd_block_k=bwd_block_k or DEFAULT_BWD_BLOCK_K,
+            fused_bwd=fused_bwd)
 
     return attention_fn
