@@ -117,6 +117,12 @@ def parse_args(argv=None):
     p.add_argument("--resume-partial", action="store_true",
                    help="seed the report with completed configs from "
                         "OUT.partial (crash recovery)")
+    p.add_argument("--reuse-sweep", action="store_true",
+                   help="config 4: reuse a prior COMPLETED ours-side sweep's "
+                        "stats from the .partial report (the 10x3-epoch run "
+                        "loop is seed-deterministic and unchanged) and run "
+                        "only the identical-weights anchor + torch_sweep "
+                        "legs; the reused block is labeled sweep_reused_from")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -1055,8 +1061,17 @@ def run_config4(root, args, workdir, have_ref, prior=None, checkpoint_cb=None):
     is the same experiment."""
     from vtamiq_tpu.train.run_multi import parse_runs
     num_runs = 10 if args.full else 2
+    reused_stats = None
+    if (prior and getattr(args, "reuse_sweep", False)
+            and prior.get("stats") and not prior.get("partial_runs")):
+        # A completed prior sweep (identical code path + seeds args.seed+i)
+        # carries verbatim; this rerun only adds the anchor/torch_sweep legs.
+        reused_stats = prior["stats"]
+        num_runs = int(prior.get("num_runs", num_runs))
     runs = list((prior or {}).get("partial_runs", []))[:num_runs]
-    for i in range(len(runs), num_runs):
+    if reused_stats is not None:
+        runs = []
+    for i in range(len(runs), 0 if reused_stats is not None else num_runs):
         C = fresh_configs()
         point_frameworks_at(root)
         from vtamiq_tpu.train import engine
@@ -1081,10 +1096,13 @@ def run_config4(root, args, workdir, have_ref, prior=None, checkpoint_cb=None):
         if checkpoint_cb is not None:
             checkpoint_cb({"partial_runs": runs})
         _release_memory()
-    stats = parse_runs(runs, lambda *a: None)
+    stats = reused_stats if reused_stats is not None \
+        else parse_runs(runs, lambda *a: None)
     out = {"name": "multiscale CAPS (16/32/64 px @ 16:4:1) run_multi sweep on LIVE",
            "num_runs": num_runs, "epochs_per_run": 3 if args.full else 1,
            "stats": stats}
+    if reused_stats is not None:
+        out["sweep_reused_from"] = "prior completed report (--reuse-sweep)"
     if prior and prior.get("partial_runs"):
         out["runs_recovered_from_crash"] = len(prior["partial_runs"])
     srocc_mean = stats.get("SROCC", {}).get("mean")
@@ -1244,7 +1262,7 @@ def run_config5(root, args, workdir, kinds, have_ref):
 # main
 # --------------------------------------------------------------------------
 
-def carry_prior_configs(report, prior, wanted):
+def carry_prior_configs(report, prior, wanted, reuse_sweep=False):
     """Seed ``report`` from a crashed run's .partial (same mode only):
     completed configs NOT being rerun carry over verbatim, and a wanted
     config that only holds a resumable mid-sweep ``{"partial_runs": [...]}``
@@ -1257,6 +1275,9 @@ def carry_prior_configs(report, prior, wanted):
         if not carry and isinstance(v, dict) and "pass" not in v \
                 and "partial_runs" in v:
             carry = True
+        if not carry and k == "4" and reuse_sweep and isinstance(v, dict) \
+                and v.get("stats"):
+            carry = True  # run_config4 reuses its stats, reruns the rest
         if carry:
             report["configs"][k] = v
     report["resumed_from_partial"] = prior.get("generated_at")
@@ -1286,7 +1307,8 @@ def main(argv=None):
     if args.resume_partial and os.path.isfile(args.out + ".partial"):
         with open(args.out + ".partial") as f:
             prior = json.load(f)
-        carry_prior_configs(report, prior, wanted)
+        carry_prior_configs(report, prior, wanted,
+                            reuse_sweep=getattr(args, "reuse_sweep", False))
 
     def checkpoint_report():
         """Incremental dump: a late-config crash must not lose earlier

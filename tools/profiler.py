@@ -55,7 +55,8 @@ SALT = (int(time.time_ns()) % 997) * 1e-13
 
 
 def build(args):
-    cfg = VTAMIQConfig(vit=get_vit_config(num_keep_layers=args.layers,
+    cfg = VTAMIQConfig(vit=get_vit_config(getattr(args, "variant", "B16"),
+                                          num_keep_layers=args.layers,
                                           num_extra_tokens=8))
     params = init_vtamiq_params(jax.random.PRNGKey(0), cfg)
     if args.weighted:
@@ -497,6 +498,10 @@ def main():
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--seq", type=int, default=0,
                    help="attention: token count override (default patches+9)")
+    p.add_argument("--variant", default="B16", choices=["B16", "B8", "L16"],
+                   help="ViT backbone for stages/train/tune5000 (round-4: "
+                        "the flash blocks were tuned at 768/12h; L16 is "
+                        "1024/16h — same head_dim 64, but verify)")
     p.add_argument("--weighted", action="store_true",
                    help="stratified (weighted) CAPS sampler")
     p.add_argument("--sweep", action="store_true",

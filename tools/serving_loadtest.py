@@ -1,15 +1,21 @@
 """Hardware load test: variable-size traffic over canonical serving buckets.
 
-Round-3 evidence for the bucketed serving path (vtamiq_tpu/serving.py +
-inference.VTAMIQScorer(size_buckets=...)): mixed-size traffic (>= 6 distinct
-image shapes) must coalesce into a bounded executable set (<= max_buckets
-distinct (H, W) pipelines) with no per-novel-shape compile stalls, and a
-bucket-exact shape must score the same through the bucketed (img_hw-masked)
-path as through the exact-shape path.
+Round-4 evidence for the bucketed serving path (vtamiq_tpu/serving.py +
+inference.VTAMIQScorer(size_buckets=...)):
+
+1. mixed-size traffic (>= 6 distinct image shapes) must coalesce into a
+   bounded executable set (<= max_buckets distinct (H, W) pipelines) with
+   no per-novel-shape compile stalls;
+2. a bucket-exact shape must score the same through the bucketed
+   (img_hw-masked) path as through the exact-shape path;
+3. (round-4) a latency-vs-load CURVE: closed-loop clients at 1 / 4 / 16
+   concurrency, each level reporting throughput, p50/p90/p99/max latency,
+   and mean batch occupancy — so tail latency can be attributed (queueing
+   vs relay variance vs batch close-out) instead of guessed at.
 
 Reference counterpart: none (the reference has no serving stack); the
-variable-size behavior being exercised mirrors its free-size dataset handling
-(LIVE/KADIS images arrive at native sizes, data/patch_datasets.py:382-425).
+variable-size behavior being exercised mirrors its free-size dataset
+handling (data/patch_datasets.py:382-425).
 
 Run detached (CLAUDE.md rule 2 — never kill a TPU process):
   nohup python tools/serving_loadtest.py > /tmp/serving_loadtest.log 2>&1 &
@@ -36,9 +42,87 @@ TRAFFIC_SHAPES = [(384, 512), (360, 480), (320, 448), (512, 384),
                   (480, 640), (432, 576), (288, 416), (512, 768)]
 MAX_BUCKETS = 3
 MAX_BATCH = 8
-NUM_REQUESTS = int(os.environ.get("LOADTEST_REQUESTS", 160))
-NUM_CLIENTS = 16
+NUM_CLIENTS_LEVELS = [1, 4, 16]
+# per-level request budgets: enough for a stable p99 at 16 clients while
+# keeping the single-client level from dominating wall time
+LEVEL_REQUESTS = {1: 48, 4: 96, 16: 160}
 PATCH_COUNT = int(os.environ.get("LOADTEST_PATCHES", 500))
+
+
+def percentile_ms(lat_sorted, q):
+    if not len(lat_sorted):
+        return None
+    return float(lat_sorted[min(len(lat_sorted) - 1,
+                                int(len(lat_sorted) * q))] * 1e3)
+
+
+def run_level(batcher, rng, num_clients, num_requests):
+    """Closed-loop load: ``num_clients`` threads each issue requests
+    back-to-back until the shared budget is drained."""
+    latencies, errors = [], []
+    lock = threading.Lock()
+    it = iter(range(num_requests))
+    stats0 = dict(batcher.stats)
+
+    def fresh_pair(shape):
+        h, w = shape
+        ref = rng.random((h, w, 3), dtype=np.float32)
+        dist = np.clip(ref + rng.normal(0, 0.05, ref.shape).astype(np.float32),
+                       0, 1)
+        return ref, dist
+
+    def client():
+        while True:
+            with lock:
+                i = next(it, None)
+                if i is None:
+                    return
+                shape = TRAFFIC_SHAPES[i % len(TRAFFIC_SHAPES)]
+                ref, dist = fresh_pair(shape)  # rng isn't thread-safe
+            t = time.time()
+            try:
+                q = batcher.score(ref, dist, timeout=120.0)
+                dt = time.time() - t
+                with lock:
+                    latencies.append(dt)
+                if not np.isfinite(q):
+                    with lock:
+                        errors.append(f"non-finite q for {shape}")
+            except Exception as e:
+                with lock:
+                    errors.append(f"{shape}: {type(e).__name__}: {e}")
+
+    t0 = time.time()
+    threads = [threading.Thread(target=client) for _ in range(num_clients)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    wall = time.time() - t0
+
+    lat = np.sort(np.asarray(latencies))
+    served = batcher.stats["served"] - stats0["served"]
+    batches = batcher.stats["batches"] - stats0["batches"]
+    padded = batcher.stats["padded_slots"] - stats0["padded_slots"]
+    return {
+        "clients": num_clients,
+        "requests": num_requests,
+        "completed": len(latencies),
+        "errors": errors[:10],
+        "num_errors": len(errors),
+        "wall_seconds": round(wall, 2),
+        "throughput_pairs_per_s": round(len(latencies) / wall, 3) if wall else None,
+        "latency_p50_ms": percentile_ms(lat, 0.50),
+        "latency_p90_ms": percentile_ms(lat, 0.90),
+        "latency_p99_ms": percentile_ms(lat, 0.99),
+        "latency_max_ms": float(lat[-1] * 1e3) if len(lat) else None,
+        "p99_over_p50": (round(percentile_ms(lat, 0.99)
+                               / percentile_ms(lat, 0.50), 2)
+                         if len(lat) else None),
+        "batches": batches,
+        "mean_batch_occupancy": round(served / batches, 2) if batches else None,
+        "padded_slots": padded,
+    }
 
 
 def main():
@@ -50,8 +134,11 @@ def main():
     # execution memoization (CLAUDE.md rule 3): every request distinct
     out = {"generated_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
            "traffic_shapes": TRAFFIC_SHAPES, "max_buckets": MAX_BUCKETS,
-           "max_batch": MAX_BATCH, "num_requests": NUM_REQUESTS,
-           "num_clients": NUM_CLIENTS, "patch_count": PATCH_COUNT}
+           "max_batch": MAX_BATCH,
+           "protocol": ("closed-loop clients, shared request budget per "
+                        "level; latency = submit->score wall time incl. "
+                        "queueing"),
+           "patch_count": PATCH_COUNT}
 
     buckets = compute_canonical_buckets(TRAFFIC_SHAPES, max_buckets=MAX_BUCKETS)
     out["buckets"] = [list(b) for b in buckets]
@@ -68,68 +155,25 @@ def main():
         print(f"warmed {h}x{w} in {time.time() - t1:.1f}s", flush=True)
     out["warmup_seconds"] = time.time() - t0
 
-    def fresh_pair(shape):
-        h, w = shape
-        ref = rng.random((h, w, 3), dtype=np.float32)
-        dist = np.clip(ref + rng.normal(0, 0.05, ref.shape).astype(np.float32),
-                       0, 1)
-        return ref, dist
+    out["load_curve"] = []
+    for n in NUM_CLIENTS_LEVELS:
+        level = run_level(batcher, rng, n, LEVEL_REQUESTS[n])
+        out["load_curve"].append(level)
+        print(f"level clients={n}:", json.dumps(level), flush=True)
 
-    latencies, errors = [], []
-    lock = threading.Lock()
-    it = iter(range(NUM_REQUESTS))
-
-    def client():
-        while True:
-            with lock:
-                i = next(it, None)
-            if i is None:
-                return
-            shape = TRAFFIC_SHAPES[i % len(TRAFFIC_SHAPES)]
-            ref, dist = fresh_pair(shape)
-            t = time.time()
-            try:
-                q = batcher.score(ref, dist, timeout=120.0)
-                dt = time.time() - t
-                with lock:
-                    latencies.append(dt)
-                if not np.isfinite(q):
-                    with lock:
-                        errors.append(f"non-finite q for {shape}")
-            except Exception as e:
-                with lock:
-                    errors.append(f"{shape}: {type(e).__name__}: {e}")
-
-    t0 = time.time()
-    threads = [threading.Thread(target=client) for _ in range(NUM_CLIENTS)]
-    for th in threads:
-        th.start()
-    for th in threads:
-        th.join()
-    wall = time.time() - t0
-
-    lat = np.sort(np.asarray(latencies))
+    # keep the historical top-level fields pointing at the saturated level
+    out["results"] = out["load_curve"][-1]
+    out["results"]["compiled_pipeline_keys"] = len(scorer._pipelines)
     pipeline_shapes = sorted({(k[1], k[2]) for k in scorer._pipelines})
-    out["results"] = {
-        "completed": len(latencies),
-        "errors": errors[:10],
-        "num_errors": len(errors),
-        "wall_seconds": wall,
-        "throughput_pairs_per_s": len(latencies) / wall if wall else None,
-        "latency_p50_ms": float(lat[len(lat) // 2] * 1e3) if len(lat) else None,
-        "latency_p99_ms": float(lat[int(len(lat) * 0.99)] * 1e3) if len(lat) else None,
-        "latency_max_ms": float(lat[-1] * 1e3) if len(lat) else None,
-        "batcher_stats": dict(batcher.stats),
-        "compiled_pipeline_keys": len(scorer._pipelines),
-        "distinct_pipeline_shapes": [list(s) for s in pipeline_shapes],
-    }
+    out["results"]["distinct_pipeline_shapes"] = [list(s) for s in pipeline_shapes]
     batcher.stop()
 
     # score-path equivalence: a bucket-exact shape through the bucketed
     # (padded + img_hw-masked) path vs the exact-shape path, same weights
     # and same RNG stream
     bh, bw = buckets[0]
-    ref, dist = fresh_pair((bh, bw))
+    ref = rng.random((bh, bw, 3), dtype=np.float32)
+    dist = np.clip(ref + rng.normal(0, 0.05, ref.shape).astype(np.float32), 0, 1)
     exact = VTAMIQScorer(patch_count=PATCH_COUNT, seed=123)
     exact.params = scorer.params
     bucketed = VTAMIQScorer(patch_count=PATCH_COUNT, size_buckets=buckets,
@@ -148,8 +192,9 @@ def main():
         out["bucket_exact_parity"]["abs_diff"]
         <= out["bucket_exact_parity"]["gate"])
 
+    total_errors = sum(lv["num_errors"] for lv in out["load_curve"])
     shapes_ok = set(pipeline_shapes) <= set(buckets)
-    out["pass"] = bool(len(errors) == 0 and shapes_ok
+    out["pass"] = bool(total_errors == 0 and shapes_ok
                        and len(pipeline_shapes) <= MAX_BUCKETS
                        and out["bucket_exact_parity"]["pass"])
     with open(os.path.join(REPO, "SERVING_LOADTEST.json"), "w") as f:
