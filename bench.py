@@ -34,8 +34,11 @@ CACHE = os.path.join(REPO, ".bench_torch_cpu.json")
 # v5e bf16 peak (per chip) for analytic-MFU rows
 PEAK_FLOPS = 197e12
 
-# 5000-patch train batch: the tune5000 production point (tools/profiler.py)
-TRAIN_5000P_BATCH = 4
+# 5000-patch train batch: the tune5000 production point (tools/profiler.py).
+# Round-4 sweep (same chip, concurrent-load relative A/B): b8 no-remat 6.39
+# pairs/s vs b4 no-remat 3.68 vs b8 remat 5.42 — batch 8 fills the MXU the
+# fused Pallas backward leaves idle at b4.
+TRAIN_5000P_BATCH = 8
 
 
 def _enable_compile_cache():
