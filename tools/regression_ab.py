@@ -83,7 +83,7 @@ def main():
         "all": [round(r, 1) for r in rates],
     }
     print(json.dumps(out), flush=True)
-    with open(os.path.join(REPO, ".regression_ab.json"), "w") as f:
+    with open(os.path.join(REPO, "docs", "regression_ab_r4.json"), "w") as f:
         json.dump(out, f, indent=2)
 
 
