@@ -23,6 +23,7 @@ Run detached (CLAUDE.md rule 2):
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -98,10 +99,8 @@ def configure_finetune(C, split, ckpt, epochs):
     g["load_checkpoint_file"] = ckpt
 
 
-def run_seed(seed, args):
-    res = {"seed": seed, "tid_split": tid_split_for_seed(seed)}
-
-    # --- arm 1: KADIS weak-label pretrain (train-only, all refs) ---
+def leg_pretrain(seed, args):
+    """Arm-1 KADIS weak-label pretrain (train-only, all refs)."""
     C = fresh_configs(seed)
     install_kadis(C, args.refs)
     g = C.global_config
@@ -114,38 +113,67 @@ def run_seed(seed, args):
     from vtamiq_tpu.train import engine
     t0 = time.time()
     engine.train()
-    ckpt = os.path.join(g["output_dir_final"], "latest.npz")
-    res["pretrain_seconds"] = time.time() - t0
+    return {"checkpoint": os.path.join(g["output_dir_final"], "latest.npz"),
+            "pretrain_seconds": time.time() - t0}
 
-    # --- arm 1 cont.: finetune through the pretraining gates ---
+
+def leg_finetune(seed, args, ckpt):
+    """One finetune arm over the seed's shared TID2013 split; ckpt=None is
+    the cold-start control, a path is the pretrained arm."""
     C = fresh_configs(seed)
-    configure_finetune(C, res["tid_split"], ckpt, args.finetune_epochs)
-    from vtamiq_tpu.train import engine as engine2
+    configure_finetune(C, tid_split_for_seed(seed), ckpt, args.finetune_epochs)
+    from vtamiq_tpu.train import engine
     t0 = time.time()
-    cors_pre = engine2.train()
-    res["pretrained"] = {
-        "checkpoint": ckpt,
-        "test_SROCC": float(cors_pre["SROCC"]),
-        "test_PLCC": float(cors_pre["PLCC"]),
+    cors = engine.train()
+    return {
+        "test_SROCC": float(cors["SROCC"]),
+        "test_PLCC": float(cors["PLCC"]),
         "val_SROCC_per_epoch": val_trajectory(
             C.global_config["output_dir_final"]),
         "finetune_seconds": time.time() - t0,
     }
+
+
+def run_leg(leg, seed, args, ckpt=None, retries=1):
+    """Run one leg in a CHILD process: legs accumulate tens of GB of host
+    state (image caches + relay buffers survive the importlib.reload
+    cycles), and three legs x three seeds in one process OOMed on this
+    128 GB box (round 4). A child bounds RSS to one leg and keeps the
+    parent TPU-free (a killed parent cannot wedge the chip)."""
+    out_path = os.path.join(REPO, f".kadis_leg_{seed}_{leg}.json")
+    cmd = [sys.executable, os.path.abspath(__file__), "--leg", leg,
+           "--seed", str(seed), "--refs", str(args.refs),
+           "--kadis-epochs", str(args.kadis_epochs),
+           "--finetune-epochs", str(args.finetune_epochs),
+           "--leg-out", out_path]
+    if ckpt:
+        cmd += ["--ckpt", ckpt]
+    for attempt in range(retries + 1):
+        rc = subprocess.run(cmd).returncode
+        if rc == 0:
+            break
+        print(f"leg {leg} seed {seed}: child rc={rc} "
+              f"(attempt {attempt + 1}/{retries + 1})", flush=True)
+    else:
+        raise RuntimeError(f"leg {leg} seed {seed} failed after retries")
+    with open(out_path) as f:
+        res = json.load(f)
+    os.remove(out_path)
+    return res
+
+
+def run_seed(seed, args):
+    res = {"seed": seed, "tid_split": tid_split_for_seed(seed)}
+
+    pre = run_leg("pretrain", seed, args)
+    ckpt = pre["checkpoint"]
+    res["pretrain_seconds"] = pre["pretrain_seconds"]
+
+    res["pretrained"] = run_leg("finetune", seed, args, ckpt=ckpt)
+    res["pretrained"]["checkpoint"] = ckpt
     print(f"seed {seed} pretrained:", res["pretrained"], flush=True)
 
-    # --- arm 2: cold-start control (identical split + budget) ---
-    C = fresh_configs(seed)
-    configure_finetune(C, res["tid_split"], None, args.finetune_epochs)
-    from vtamiq_tpu.train import engine as engine3
-    t0 = time.time()
-    cors_cold = engine3.train()
-    res["cold_start"] = {
-        "test_SROCC": float(cors_cold["SROCC"]),
-        "test_PLCC": float(cors_cold["PLCC"]),
-        "val_SROCC_per_epoch": val_trajectory(
-            C.global_config["output_dir_final"]),
-        "finetune_seconds": time.time() - t0,
-    }
+    res["cold_start"] = run_leg("finetune", seed, args)
     print(f"seed {seed} cold:", res["cold_start"], flush=True)
 
     res["endpoint_delta_SROCC"] = (res["pretrained"]["test_SROCC"]
@@ -165,7 +193,22 @@ def main():
     ap.add_argument("--kadis-epochs", type=int, default=1)
     ap.add_argument("--finetune-epochs", type=int, default=2)
     ap.add_argument("--out", default=os.path.join(REPO, "KADIS_WORKFLOW.json"))
+    # internal child-process mode (see run_leg)
+    ap.add_argument("--leg", choices=["pretrain", "finetune"], default=None)
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--leg-out", default=None)
     args = ap.parse_args()
+
+    if args.leg:  # child: one leg, one seed, bounded RSS
+        if args.leg == "pretrain":
+            res = leg_pretrain(args.seed, args)
+        else:
+            res = leg_finetune(args.seed, args, args.ckpt)
+        with open(args.leg_out, "w") as f:
+            json.dump(res, f)
+        return
+
     seeds = [int(s) for s in args.seeds.split(",") if s.strip()]
 
     from vtamiq_tpu.data import synth
@@ -193,8 +236,7 @@ def main():
             prev = json.load(f)
         if (prev.get("kadis_refs") == args.refs
                 and prev.get("finetune_epochs") == args.finetune_epochs):
-            out["per_seed"] = [r for r in prev.get("per_seed", [])
-                               if r.get("seed") in seeds]
+            out["per_seed"] = list(prev.get("per_seed", []))
             print(f"resumed {len(out['per_seed'])} seeds from partial",
                   flush=True)
 
