@@ -44,6 +44,14 @@ class TestViTConfig:
         l16 = get_vit_config(VIT_VARIANT_L16)
         assert l16.hidden_size == 1024 and l16.num_layers == 24
 
+    def test_variant_short_names(self):
+        # the profiler CLI passes bare "B16"/"B8"/"L16" (tools/profiler.py
+        # --variant); both spellings must resolve to the same config
+        for short, canon in (("B16", VIT_VARIANT_B16), ("L16", VIT_VARIANT_L16)):
+            assert get_vit_config(short) == get_vit_config(canon)
+        with pytest.raises(ValueError):
+            get_vit_config("H14")
+
     def test_keep_layers(self):
         assert get_vit_config(num_keep_layers=6).effective_num_layers == 6
         assert get_vit_config(num_keep_layers=-1).effective_num_layers == 12

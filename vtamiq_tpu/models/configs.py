@@ -78,6 +78,8 @@ class ViTConfig:
 
 
 def get_vit_config(variant: str = VIT_VARIANT_B16, **overrides) -> ViTConfig:
+    if variant in ("B8", "B16", "L16"):  # accept the bare CLI short form
+        variant = f"ViT-{variant}"
     if variant == VIT_VARIANT_B16:
         base = dict(patch_size=16, hidden_size=768, mlp_dim=3072, num_heads=12, num_layers=12)
     elif variant == VIT_VARIANT_B8:
