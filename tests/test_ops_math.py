@@ -208,6 +208,27 @@ class TestMaskedLosses:
         g = jax.grad(lambda dd: rank_loss(dd, y))(d)
         assert np.isfinite(np.asarray(g)).all()
 
+    def test_pears_loss_no_nan_grad_at_constant_predictions(self):
+        """A batch whose (valid) predictions are all equal zeroes the centered
+        vector; ``norm(x) + eps`` only guards the forward — sqrt's backward at
+        0 is NaN and would poison params through the optimizer moments
+        (observed: config-4 sweep run collapsed at a valid=1 batch). The
+        smooth-norm form must give finite (zero) gradients there."""
+        y = jnp.array([0.1, 0.9, 0.5, 0.3])
+        for d in (jnp.zeros(4), jnp.full((4,), 12.8591)):
+            val = float(pears_loss(d, y))
+            assert np.isfinite(val)
+            g = jax.grad(lambda dd: pears_loss(dd, y))(d)
+            assert np.isfinite(np.asarray(g)).all()
+        # valid=1: a single valid item is constant by definition
+        d = jnp.array([12.8591, 7.0, -3.0])
+        g = jax.grad(lambda dd: pears_loss(dd, y[:3], valid=jnp.asarray(1)))(d)
+        assert np.isfinite(np.asarray(g)).all()
+        # and the full IQA combo must stay finite end-to-end
+        total, _ = loss_func_iqa(jnp.full((4,), 2.0), y)
+        gt = jax.grad(lambda dd: loss_func_iqa(dd, y)[0])(jnp.full((4,), 2.0))
+        assert np.isfinite(float(total)) and np.isfinite(np.asarray(gt)).all()
+
     def test_pairwise_masked(self):
         p = jnp.array([0.5, 0.7, 0.7])
         t = jnp.array([1.0, 0.2, 0.2])

@@ -50,6 +50,16 @@ def mse_loss(d, y, valid=None):
     return jnp.sum((d - y) ** 2 * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
+def _safe_norm(x, eps: float):
+    """sqrt(sum(x^2) + eps^2): smooth l2 norm whose gradient at x == 0 is
+    exactly 0. ``jnp.linalg.norm(x) + eps`` guards only the forward — the
+    backward of sqrt at 0 is NaN, so one all-constant batch (zero-variance
+    predictions) would poison the whole param pytree through the optimizer
+    moments. Observed in the wild: config-4 sweep run 1 (seed 8) collapsed
+    a mid-training batch to constant q and every later step was NaN."""
+    return jnp.sqrt(jnp.sum(jnp.square(x)) + eps * eps)
+
+
 def pears_loss(d, y, valid=None, eps: float = PEARS_LOSS_EPS):
     """1 - clamp(pearson(d, y), 0, 1) (reference: train.py:344-354),
     computed over the first ``valid`` items only."""
@@ -57,9 +67,7 @@ def pears_loss(d, y, valid=None, eps: float = PEARS_LOSS_EPS):
     count = jnp.maximum(jnp.sum(m), 1.0)
     dm = (d - jnp.sum(d * m) / count) * m
     ym = (y - jnp.sum(y * m) / count) * m
-    norm_d = jnp.linalg.norm(dm) + eps
-    norm_y = jnp.linalg.norm(ym) + eps
-    r = jnp.dot(dm / norm_d, ym / norm_y)
+    r = jnp.dot(dm / _safe_norm(dm, eps), ym / _safe_norm(ym, eps))
     return 1.0 - jnp.clip(r, 0.0, 1.0)
 
 
