@@ -291,13 +291,21 @@ def measure_extra_configs(budget_s: float = 1500.0):
 
     def fused_infer(sampler, ecfg, batch, iters, bound):
         extract = make_extract_fn(sampler, ecfg)
+        # same gate as train.steps._mesh_attention_fn: past the threshold the
+        # Pallas flash kernel replaces the quadratic (2B, heads, S, S) softmax
+        # (which at 5000p is multi-GB of HBM traffic per layer and OOMs L16)
+        from vtamiq_tpu.ops.attention import (make_attention_fn,
+                                              FLASH_ATTENTION_THRESHOLD)
+        attn_fn = (make_attention_fn()
+                   if ecfg.patch_count >= FLASH_ATTENTION_THRESHOLD else None)
 
         @jax.jit
         def loop(params, raw, key):
             def body(i, acc):
                 patches, pos, scales = extract(raw, jax.random.fold_in(key, i))
                 return acc + jnp.sum(vtamiq_forward(params, cfg, patches, pos,
-                                                    scales))
+                                                    scales,
+                                                    attention_fn=attn_fn))
             return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
 
         raw, key = fresh(batch)

@@ -99,10 +99,20 @@ def loop_jit(body_fn, iters):
     return run
 
 
+def infer_attention_fn(patch_count: int):
+    """Same gate as train.steps._mesh_attention_fn: quadratic softmax
+    attention materializes a (2B, heads, S, S) tensor, which at 5000 patches
+    exceeds v5e HBM outright for L16 (f32[16,16,5120,5120] = 26 GB) — the
+    flash kernel is not an optimization there, it's the only way to run."""
+    from vtamiq_tpu.ops.attention import make_attention_fn, FLASH_ATTENTION_THRESHOLD
+    return make_attention_fn() if patch_count >= FLASH_ATTENTION_THRESHOLD else None
+
+
 def cmd_stages(args):
     cfg, params, sampler, ecfg = build(args)
     extract = make_extract_fn(sampler, ecfg)
     iters = args.iters
+    attn_fn = infer_attention_fn(args.patches)
 
     def extract_sum(params, raw, key):
         patches, pos, _ = extract(raw, key)
@@ -110,7 +120,8 @@ def cmd_stages(args):
 
     def fused(params, raw, key):
         patches, pos, scales = extract(raw, key)
-        return jnp.sum(vtamiq_forward(params, cfg, patches, pos, scales))
+        return jnp.sum(vtamiq_forward(params, cfg, patches, pos, scales,
+                                      attention_fn=attn_fn))
 
     raw, key = fresh_raw(args.batch)
     pairs = args.batch * iters
@@ -135,7 +146,8 @@ def cmd_stages(args):
     def fwd_loop(params, patches, pos, scales, salt):
         def body(i, acc):
             p_i = patches * (1.0 + salt * 1e-6 + i.astype(patches.dtype) * 1e-6)
-            return acc + jnp.sum(vtamiq_forward(params, cfg, p_i, pos, scales))
+            return acc + jnp.sum(vtamiq_forward(params, cfg, p_i, pos, scales,
+                                                attention_fn=attn_fn))
         return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
 
     float(fwd_loop(params, patches, pos, scales, jnp.float32(-1.0)))
@@ -476,9 +488,11 @@ def cmd_variants(args):
                              norm_mean=(0.5 + SALT, 0.5, 0.5))
         extract = make_extract_fn(PatchSampler(), ecfg)
 
-        def fused(params, raw, key, cfg=cfg, extract=extract):
+        def fused(params, raw, key, cfg=cfg, extract=extract,
+                  attn_fn=infer_attention_fn(args.patches)):
             patches, pos, scales = extract(raw, key)
-            return jnp.sum(vtamiq_forward(params, cfg, patches, pos, scales))
+            return jnp.sum(vtamiq_forward(params, cfg, patches, pos, scales,
+                                          attention_fn=attn_fn))
 
         raw, key = fresh_raw(args.batch)
         run = loop_jit(fused, args.iters)
