@@ -53,14 +53,22 @@ class VTAMIQScorer:
                  num_repeats: int = 1,
                  sampler: Optional[PatchSampler] = None,
                  size_buckets: Optional[Sequence] = None,
-                 seed: int = 0):
+                 seed: int = 0,
+                 quantize_int8: bool = False):
         """``size_buckets``: optional canonical (H, W) shapes (e.g. from
         data.buckets.compute_canonical_buckets over the expected traffic).
         When set, images pad up to their covering bucket and the sampler is
         confined to the true region via img_hw — the executable count is
         bounded by len(buckets) x ladder instead of one per novel shape,
         and mixed-size pairs batch together (the trainer's padded-bucket
-        machinery, reused for serving)."""
+        machinery, reused for serving).
+
+        ``quantize_int8``: rewrite the ViT encoder's dense weights to int8
+        (W8A8 dynamic, ops.quant) before the first score — applied lazily
+        so checkpoint weights merged by the classmethods are what gets
+        quantized. Halves encoder weight memory vs bf16; throughput is a
+        wash on current XLA at these shapes (see ops/quant.py ledger).
+        Opt-in, serving only."""
         if cfg is None:
             cfg = VTAMIQConfig(vit=get_vit_config(num_keep_layers=6, num_extra_tokens=8))
         self.cfg = cfg
@@ -75,6 +83,18 @@ class VTAMIQScorer:
         self._key = jax.random.PRNGKey(seed)
         self._pipelines = {}
         self._oversize_warned: set = set()
+        self._quantize_int8 = bool(quantize_int8)
+
+    def _ensure_quantized(self):
+        """Apply the opt-in int8 rewrite to the encoder once, lazily, at
+        first scoring — after any classmethod has merged real weights
+        (quantize_params_int8 is a no-op on already-quantized leaves)."""
+        if not self._quantize_int8:
+            return
+        from vtamiq_tpu.ops.quant import quantize_params_int8
+        self.params = dict(self.params)
+        self.params["vit"] = quantize_params_int8(self.params["vit"])
+        self._quantize_int8 = False
 
     # -- constructors --------------------------------------------------------
 
@@ -174,6 +194,7 @@ class VTAMIQScorer:
         eval-repeat semantics)."""
         if len(refs) != len(dists):
             raise ValueError("refs and dists must have the same length.")
+        self._ensure_quantized()
         groups = {}
         for i, (r, d) in enumerate(zip(refs, dists)):
             if r.shape != d.shape:

@@ -144,6 +144,11 @@ def layer_norm(params, x, eps: float = 1e-6):
 
 
 def dense(params, x, dtype=None):
+    if "kernel_q8" in params:
+        # leaf was rewritten by ops.quant.quantize_params_int8 (serving-only
+        # W8A8 path); dispatch resolves at trace time — zero cost otherwise
+        from vtamiq_tpu.ops.quant import dense_q8
+        return dense_q8(params, x, dtype)
     dtype = dtype or x.dtype
     return (jnp.dot(x, params["kernel"].astype(dtype),
                     preferred_element_type=jnp.float32).astype(dtype)
