@@ -11,6 +11,13 @@ physical-plausibility filter.
 Context: tools/int8_probe.py (matmul level) read int8_dyn 1.23x / static
 0.86x — contradictory; the round-2 isolated-matmul probe read parity.
 This measures what a user of VTAMIQScorer(quantize_int8=True) gets.
+
+v2 (after the first run read an impossible 5.4x while a training job
+shared the chip): adds an A/A CONTROL — the bf16 program runs as two arms
+with their own jit instances — and rotates arm order each trial. If the
+two bf16 arms disagree, or an arm's reading tracks its slot rather than
+its program, the harness (relay queueing/memoization) is the artifact and
+the trial set is invalid. Run on an otherwise-idle chip.
 """
 
 from __future__ import annotations
@@ -46,18 +53,24 @@ def main():
     print(f"quantized leaves: {count_quantized_leaves(qparams['vit'])}",
           flush=True)
 
-    salt = (int(time.time_ns()) % 997) * 1e-13
-    ecfg = ExtractConfig(patch_count=PATCHES, patch_dim=16,
-                         norm_mean=(0.5 + salt, 0.5, 0.5))
-    extract = make_extract_fn(PatchSampler(), ecfg)
+    def make_pipeline(arm_salt):
+        # each arm gets its own program salt -> its own executable, so the
+        # relay cannot serve one arm's (program, inputs) memo to another
+        ecfg = ExtractConfig(patch_count=PATCHES, patch_dim=16,
+                             norm_mean=(0.5 + arm_salt, 0.5, 0.5))
+        extract = make_extract_fn(PatchSampler(), ecfg)
 
-    @jax.jit
-    def pipeline_n(p, imgs_raw, key):
-        def body(i, acc):
-            patches, pos, scales = extract(imgs_raw, jax.random.fold_in(key, i))
-            q = vtamiq_forward(p, cfg, patches, pos, scales)
-            return acc + jnp.sum(q)
-        return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
+        @jax.jit
+        def pipeline_n(p, imgs_raw, key):
+            def body(i, acc):
+                patches, pos, scales = extract(imgs_raw,
+                                               jax.random.fold_in(key, i))
+                q = vtamiq_forward(p, cfg, patches, pos, scales)
+                return acc + jnp.sum(q)
+            return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
+        return pipeline_n
+
+    base_salt = (int(time.time_ns()) % 997) * 1e-13
 
     def fresh_inputs():
         s = int(time.time_ns()) & 0x7FFFFFFF
@@ -65,20 +78,23 @@ def main():
         return (jnp.asarray(r.uniform(0, 1, (BATCH, 2, IMG_H, IMG_W, 3)),
                             jnp.float32), jax.random.PRNGKey(s))
 
-    arms = {"bf16": params, "int8": qparams}
+    arms = [("bf16_a", params, make_pipeline(base_salt)),
+            ("int8", qparams, make_pipeline(base_salt + 1e-13)),
+            ("bf16_b", params, make_pipeline(base_salt + 2e-13))]
     raw0, key0 = fresh_inputs()
-    for name, p in arms.items():
+    for name, p, fn in arms:
         t0 = time.perf_counter()
-        v = float(pipeline_n(p, raw0, jax.random.fold_in(key0, 999)))
+        v = float(fn(p, raw0, jax.random.fold_in(key0, 999)))
         print(f"warm {name}: {time.perf_counter() - t0:.1f}s (sum={v:.4f})",
               flush=True)
 
-    times = {n: [] for n in arms}
+    times = {name: [] for name, _, _ in arms}
     for t in range(TRIALS):
         raw_t, key_t = fresh_inputs()
-        for name, p in arms.items():
+        order = [arms[(t + j) % len(arms)] for j in range(len(arms))]
+        for name, p, fn in order:
             t0 = time.perf_counter()
-            float(pipeline_n(p, raw_t, jax.random.fold_in(key_t, t)))
+            float(fn(p, raw_t, jax.random.fold_in(key_t, t)))
             dt = time.perf_counter() - t0
             pps = BATCH * ITERS / dt
             tag = ""
@@ -101,9 +117,15 @@ def main():
         print(f"{name}: {BATCH * ITERS / m:.1f} pairs/s median "
               f"({BATCH * ITERS / dts[-1]:.1f}-{BATCH * ITERS / dts[0]:.1f}, "
               f"n={len(dts)})", flush=True)
-    if len(med) == 2:
-        print(f"int8 speedup over bf16: {med['bf16'] / med['int8']:.3f}x",
+    if "bf16_a" in med and "bf16_b" in med:
+        aa = med["bf16_a"] / med["bf16_b"]
+        print(f"A/A control bf16_a/bf16_b: {aa:.3f} "
+              f"(outside 0.9-1.1 => harness artifact, discard the run)",
               flush=True)
+        if "int8" in med:
+            bf16 = (med["bf16_a"] + med["bf16_b"]) / 2
+            print(f"int8 speedup over mean bf16: {bf16 / med['int8']:.3f}x",
+                  flush=True)
     print("AB DONE", flush=True)
 
 
