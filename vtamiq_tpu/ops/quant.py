@@ -18,6 +18,14 @@ cold-start checkpoint transfer — with throughput a wash until an XLA/
 Mosaic path engages double-rate int8 at these shapes. Opt-in only
 (VTAMIQScorer quantize_int8); training paths never see quantized trees.
 
+ACCURACY (tools/int8_accuracy.py, TID2013-trained B16-6L checkpoint, 120
+synthetic pairs = 3 refs x 5 distortion families x 8 severities, 500
+patches x 2 repeats, 2026-08-19): SROCC(int8, bf16) = 0.99987,
+PLCC_NOFIT = 0.99998, max |delta| = 0.5% of the bf16 score spread, and
+per-family severity orderings agree to <=0.006 SROCC. The feared
+ref-minus-dist noise amplification does not materialize at W8A8 — the
+quantized path is rank-faithful for serving.
+
 Recipe (the standard W8A8 dynamic scheme):
 - weights: symmetric per-OUTPUT-channel int8, scale = amax(col)/127,
   computed once at load time (`quantize_params_int8`).
