@@ -91,6 +91,11 @@ def main():
     times = {name: [] for name, _, _ in arms}
     for t in range(TRIALS):
         raw_t, key_t = fresh_inputs()
+        # settle the ~75 MB host->device input transfer BEFORE timing any
+        # arm: jnp.asarray copies asynchronously and the first consumer
+        # blocks on it — v2's A/A control measured the first-slot arm 2.7x
+        # slower from exactly this (bf16_a/bf16_b 0.371, 2026-08-19 log)
+        float(jnp.sum(raw_t))
         order = [arms[(t + j) % len(arms)] for j in range(len(arms))]
         for name, p, fn in order:
             t0 = time.perf_counter()

@@ -12,11 +12,19 @@ THIS chip (through the relay):
   operand-bandwidth/relay variance, not the 2x peak ratio (394 vs 197
   TOPS) on the datasheet.
 
-So the robust benefit is FOOTPRINT, not speed: int8 weights are 2x
-smaller than bf16 (4x vs fp32) — relevant to multi-model serving and
-cold-start checkpoint transfer — with throughput a wash until an XLA/
-Mosaic path engages double-rate int8 at these shapes. Opt-in only
-(VTAMIQScorer quantize_int8); training paths never see quantized trees.
+- round 4 END-TO-END (tools/int8_e2e_ab.py v3: A/A-controlled, arm-order
+  rotated, input transfer settled before timing): int8 fused 500p
+  inference 868 pairs/s vs bf16 827-830 best-of-trial on a shared chip —
+  a real but modest ~5%, from halved weight HBM traffic, not compute
+  rate. (v1 of the A/B read an impossible 5.4x; the A/A control traced
+  it to the first-timed arm absorbing the 75 MB host->device input
+  transfer. Distrust any relay benchmark without an A/A arm.)
+
+So the benefit is FOOTPRINT first (int8 weights 2x smaller than bf16,
+4x vs fp32 — multi-model serving, cold-start transfer) plus ~5%
+throughput; the MXU double-rate int8 path stays un-engaged at these
+shapes. Opt-in only (VTAMIQScorer quantize_int8); training paths never
+see quantized trees.
 
 ACCURACY (tools/int8_accuracy.py, TID2013-trained B16-6L checkpoint, 120
 synthetic pairs = 3 refs x 5 distortion families x 8 severities, 500
