@@ -121,8 +121,12 @@ def measure_jax():
     def fresh_inputs():
         s = int(time.time_ns()) & 0x7FFFFFFF
         r = np.random.default_rng(s)
-        return (jnp.asarray(r.uniform(0, 1, (BATCH, 2, IMG_H, IMG_W, 3)),
-                            jnp.float32), jax.random.PRNGKey(s))
+        raw_f = jnp.asarray(r.uniform(0, 1, (BATCH, 2, IMG_H, IMG_W, 3)),
+                            jnp.float32)
+        # settle the async host->device copy so the first timed trial
+        # doesn't absorb it (~4.5 s for 75 MB; see utils/benchharness.py)
+        float(raw_f.ravel()[0])
+        return raw_f, jax.random.PRNGKey(s)
 
     def timed_trials(make_fn, n_trials=3, max_rounds=4, sleep_s=45.0):
         """Sorted list of n plausible timings; each round uses fresh random

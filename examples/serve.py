@@ -49,13 +49,18 @@ def main():
                          "executables/batches instead of compiling per novel "
                          "shape; with --restrict-to-warmed, any shape a "
                          "warmed bucket covers is admitted")
+    ap.add_argument("--int8", action="store_true",
+                    help="quantize the ViT encoder to int8 W8A8 at load "
+                         "(2x smaller weights, ~5%% faster, rank-faithful "
+                         "scores — see ops/quant.py's measurement ledger)")
     ap.add_argument("--restrict-to-warmed", action="store_true",
                     help="reject novel image sizes fast instead of letting "
                          "them stall the dispatcher behind an XLA compile "
                          "(recommended in production with --warmup-hw)")
     args = ap.parse_args()
 
-    kwargs = dict(patch_count=args.patch_count, num_repeats=args.num_repeats)
+    kwargs = dict(patch_count=args.patch_count, num_repeats=args.num_repeats,
+                  quantize_int8=args.int8)
     if args.size_buckets:
         if len(args.size_buckets) % 2:
             ap.error("--size-buckets needs an even count of ints (H W pairs)")

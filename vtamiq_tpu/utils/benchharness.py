@@ -38,6 +38,12 @@ def fresh_pair_batch(batch: int, h: int, w: int, seed_extra: int = 0):
     s = (int(time.time_ns()) + seed_extra) & 0x7FFFFFFF
     r = np.random.default_rng(s)
     raw = jnp.asarray(r.uniform(0, 1, (batch, 2, h, w, 3)), jnp.float32)
+    # settle the host->device copy NOW: jnp.asarray transfers
+    # asynchronously and the first consumer blocks on it (~4.5 s for 75 MB
+    # through this relay) — without this the first timed trial after a
+    # fresh batch absorbs the transfer (int8 A/B v2's A/A control measured
+    # the first-slot arm 2.7x slower from exactly this, 2026-08-19)
+    float(raw.ravel()[0])
     return raw, jax.random.PRNGKey(s)
 
 
