@@ -9,8 +9,10 @@ per-dispatch relay jitter produces, so if (same code, same hour)
 max-of-8 lands near 123 while the median lands near 115, the "regression"
 is a reporting-statistic artifact, not a slowdown.
 
-Protocol notes (CLAUDE.md rules 3/5): fresh inputs per trial, completion
-via float() of the loss, plausibility bound.
+Protocol notes (CLAUDE.md rules 3/5): raw/qs are created ONCE and reused —
+the relay's (program, inputs) execution memo is defeated because the
+donated params/opt_state evolve every step, so no two dispatches share
+inputs. Completion via float() of the loss, plausibility bound.
 
 Run detached:  nohup python tools/regression_ab.py > /tmp/regression_ab.log 2>&1 &
 """

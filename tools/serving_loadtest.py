@@ -162,7 +162,9 @@ def main():
         print(f"level clients={n}:", json.dumps(level), flush=True)
 
     # keep the historical top-level fields pointing at the saturated level
-    out["results"] = out["load_curve"][-1]
+    # copy — aliasing would leak the extra keys below into the last
+    # load_curve entry (ADVICE r4)
+    out["results"] = dict(out["load_curve"][-1])
     out["results"]["compiled_pipeline_keys"] = len(scorer._pipelines)
     pipeline_shapes = sorted({(k[1], k[2]) for k in scorer._pipelines})
     out["results"]["distinct_pipeline_shapes"] = [list(s) for s in pipeline_shapes]
