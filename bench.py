@@ -295,13 +295,14 @@ def measure_extra_configs(budget_s: float = 1500.0):
 
     def fused_infer(sampler, ecfg, batch, iters, bound):
         extract = make_extract_fn(sampler, ecfg)
-        # same gate as train.steps._mesh_attention_fn: past the threshold the
-        # Pallas flash kernel replaces the quadratic (2B, heads, S, S) softmax
-        # (which at 5000p is multi-GB of HBM traffic per layer and OOMs L16)
-        from vtamiq_tpu.ops.attention import (make_attention_fn,
-                                              FLASH_ATTENTION_THRESHOLD)
-        attn_fn = (make_attention_fn()
-                   if ecfg.patch_count >= FLASH_ATTENTION_THRESHOLD else None)
+        # measured per-(variant, S, batch) choice (tools/ab_infer5000.py,
+        # idle chip: B16 5000p b2 quadratic beats flash 1.31x fused; flash
+        # stays for whatever exceeds the logits budget, e.g. L16 5000p)
+        from vtamiq_tpu.ops.attention import choose_attention_fn
+        attn_fn = choose_attention_fn(ecfg.patch_count, train=False,
+                                      batch_pairs=batch,
+                                      num_heads=cfg.vit.num_heads,
+                                      num_extra_tokens=cfg.vit.num_tokens)
 
         @jax.jit
         def loop(params, raw, key):

@@ -99,20 +99,26 @@ def loop_jit(body_fn, iters):
     return run
 
 
-def infer_attention_fn(patch_count: int):
-    """Same gate as train.steps._mesh_attention_fn: quadratic softmax
-    attention materializes a (2B, heads, S, S) tensor, which at 5000 patches
-    exceeds v5e HBM outright for L16 (f32[16,16,5120,5120] = 26 GB) — the
-    flash kernel is not an optimization there, it's the only way to run."""
-    from vtamiq_tpu.ops.attention import make_attention_fn, FLASH_ATTENTION_THRESHOLD
-    return make_attention_fn() if patch_count >= FLASH_ATTENTION_THRESHOLD else None
+def infer_attention_fn(patch_count: int, batch_pairs=None, num_heads=12,
+                       num_extra_tokens=9):
+    """Measured inference policy (ops/attention.choose_attention_fn):
+    quadratic while the one-layer logits buffer fits (B16 b2 5000p: fits and
+    beats flash 1.3x — tools/ab_infer5000.py), flash past the budget (L16
+    5000p quadratic is f32[16,16,5120,5120] = 26 GB — flash is the only way
+    to run, not an optimization)."""
+    from vtamiq_tpu.ops.attention import choose_attention_fn
+    return choose_attention_fn(patch_count, train=False,
+                               batch_pairs=batch_pairs, num_heads=num_heads,
+                               num_extra_tokens=num_extra_tokens)
 
 
 def cmd_stages(args):
     cfg, params, sampler, ecfg = build(args)
     extract = make_extract_fn(sampler, ecfg)
     iters = args.iters
-    attn_fn = infer_attention_fn(args.patches)
+    attn_fn = infer_attention_fn(args.patches, batch_pairs=args.batch,
+                                 num_heads=cfg.vit.num_heads,
+                                 num_extra_tokens=cfg.vit.num_tokens)
 
     def extract_sum(params, raw, key):
         patches, pos, _ = extract(raw, key)
@@ -489,7 +495,10 @@ def cmd_variants(args):
         extract = make_extract_fn(PatchSampler(), ecfg)
 
         def fused(params, raw, key, cfg=cfg, extract=extract,
-                  attn_fn=infer_attention_fn(args.patches)):
+                  attn_fn=infer_attention_fn(args.patches,
+                                             batch_pairs=args.batch,
+                                             num_heads=vit.num_heads,
+                                             num_extra_tokens=vit.num_tokens)):
             patches, pos, scales = extract(raw, key)
             return jnp.sum(vtamiq_forward(params, cfg, patches, pos, scales,
                                           attention_fn=attn_fn))

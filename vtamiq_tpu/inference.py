@@ -24,7 +24,7 @@ from .models.checkpoint import load_checkpoint, merge_params, MODEL_STATE_DICT
 from .models.configs import get_vit_config, VTAMIQConfig
 from .models.vit import load_vit_npz
 from .models.vtamiq import init_vtamiq_params, vtamiq_forward
-from .ops.attention import make_attention_fn, FLASH_ATTENTION_THRESHOLD
+from .ops.attention import choose_attention_fn
 from .ops.sampling import PatchSampler
 from .train.steps import ExtractConfig, make_extract_fn
 
@@ -163,8 +163,12 @@ class VTAMIQScorer:
                              norm_mean=(DEFAULT_NORM_MEAN,) * 3,
                              norm_std=(DEFAULT_NORM_STD,) * 3)
         extract = make_extract_fn(self.sampler, ecfg)
-        attn = (make_attention_fn()
-                if self.patch_count >= FLASH_ATTENTION_THRESHOLD else None)
+        # measured per-(variant, S, batch) choice: quadratic while the
+        # logits fit, flash past the budget (ops/attention.py policy)
+        attn = choose_attention_fn(self.patch_count, train=False,
+                                   batch_pairs=batch,
+                                   num_heads=self.cfg.vit.num_heads,
+                                   num_extra_tokens=self.cfg.vit.num_tokens)
         cfg = self.cfg
 
         if with_hw:

@@ -270,6 +270,11 @@ def vtamiq_forward(params, cfg: VTAMIQConfig, patches, pos, scales=None, *,
     cls_ref = feats[:, 0, cfg.token_num]   # (B, H)
     cls_dist = feats[:, 1, cfg.token_num]
 
+    # NOTE: vit_forward returns fp32 tokens (vit.py final cast), so the
+    # tower difference below and the whole DiffNet/q head run in fp32 even
+    # when the backbone computes in bf16 — the cancellation-sensitive
+    # cls_ref - cls_dist must never be demoted to bf16 (adjudicated by the
+    # round-5 collapse diagnosis: tools/diag_collapse.py).
     cls_diff = cls_ref - cls_dist
     if cfg.diff_scale:
         cls_diff = cls_diff * params["diff_scale"]

@@ -593,3 +593,52 @@ def make_attention_fn(threshold: int = 2048,
             fused_bwd=fused_bwd)
 
     return attention_fn
+
+
+# --------------------------------------------------------------------------
+# measured attention-choice policy
+# --------------------------------------------------------------------------
+
+# Quadratic-inference logits budget. Measured anchors (idle chip,
+# tools/ab_infer5000.py 2026-08-19 + docs/OPERATIONS.md L16 table):
+#   B16 5000p b2 quadratic: fp32 logits [4,12,5120,5120] ~ 5.0 GB -> FITS and
+#     beats flash 1.31x fused / 1.34x forward-only (27.2 vs 20.7 pairs/s).
+#   L16 5000p b8 quadratic: [16,16,5120,5120] ~ 26 GB -> OOM (flash required).
+# The flash kernel exists for MEMORY, not forward speed: its per-program
+# (BQ, 64) x (64, BK) matmuls are MXU-thin next to one big fused softmax, so
+# inference should take quadratic whenever the logits buffer fits. The budget
+# sits between the measured-fits B16 b2 point (4.8 GB) and the untested L16
+# b2 point (6.4 GB) — only measured-safe shapes take the quadratic path.
+QUAD_INFER_LOGITS_BUDGET = int(5.5 * 1024**3)  # bytes
+
+
+def quad_logits_bytes(batch_rows: int, num_heads: int, seq: int) -> int:
+    """Peak fp32 softmax-logits buffer of one quadratic attention layer.
+    batch_rows counts ENCODER rows (2x pairs for the dual-tower model)."""
+    return batch_rows * num_heads * seq * seq * 4
+
+
+def choose_attention_fn(patch_count: int, *, train: bool,
+                        batch_pairs: Optional[int] = None,
+                        num_heads: int = 12, num_extra_tokens: int = 9):
+    """Measured per-(variant, S, memory-fit) attention choice (VERDICT r4 #3).
+
+    - Short sequences (< FLASH_ATTENTION_THRESHOLD): None — XLA's fused full
+      attention wins and the logits trivially fit.
+    - TRAINING past the threshold: flash, always — the quadratic backward
+      saves (2B, heads, S, S) probs per layer for the VJP (multi-GB per
+      layer at 5000p; OOM for every variant).
+    - INFERENCE past the threshold: quadratic while the one-layer logits
+      buffer fits QUAD_INFER_LOGITS_BUDGET (XLA reuses it across layers),
+      flash only when it does not. With batch_pairs unknown, assume flash
+      (the conservative choice — callers that know their batch pass it).
+    """
+    if patch_count < FLASH_ATTENTION_THRESHOLD:
+        return None
+    if train or batch_pairs is None:
+        return make_attention_fn()
+    seq = patch_count + num_extra_tokens
+    if quad_logits_bytes(2 * batch_pairs, num_heads, seq) \
+            <= QUAD_INFER_LOGITS_BUDGET:
+        return None
+    return make_attention_fn()
