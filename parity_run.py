@@ -97,15 +97,14 @@ def parse_args(argv=None):
                    help="reference-side pair cap for the config 3/4/5 eval "
                         "anchors in full mode (config 2 is never capped in "
                         "full mode; torch CPU runs ~4 s/pair at 512 patches)")
-    p.add_argument("--dynamics-gate", type=float, default=0.25,
-                   help="config-3 training-dynamics val-SROCC delta gate "
-                        "CEILING — with --dynamics-seeds >= 2 the actual "
-                        "gate is the measured cross-seed bound "
-                        "min(max(2*SE_diff, 0.02), this) (round-4: the "
-                        "fixed 0.25 was vacuous on a 0-1 metric)")
-    p.add_argument("--dynamics-seeds", type=int, default=3,
+    p.add_argument("--dynamics-gate", type=float, default=0.10,
+                   help="config-3 training-dynamics paired-delta gate "
+                        "(FIXED, capped at 0.10 — round-5: variance-derived "
+                        "widening is forbidden, VERDICT r4 #5; pass also "
+                        "requires ours to win or tie >= half the seeds)")
+    p.add_argument("--dynamics-seeds", type=int, default=8,
                    help="seeds per stack for the training-dynamics anchor "
-                        "(full mode only; 1 reverts to the fixed gate)")
+                        "(full mode only)")
     p.add_argument("--anchor-pairs-c3", type=int, default=600,
                    help="config-3 identical-weights anchor pair budget in "
                         "full mode (round-4: 128 pairs could not resolve "
@@ -769,21 +768,26 @@ def _train_dynamics_anchor(C, args, workdir, have_ref):
         "val_SROCC_std": float(np.std(torch_sroccs, ddof=1))
         if n_seeds > 1 else None,
         "train_seconds": t_torch}
-    delta = abs(float(np.mean(ours_sroccs)) - float(np.mean(torch_sroccs)))
-    out["delta_val_srocc"] = delta
-    if n_seeds >= 2:
-        se_diff = float(np.sqrt(np.var(ours_sroccs, ddof=1) / n_seeds
-                                + np.var(torch_sroccs, ddof=1) / n_seeds))
-        # 2*SE two-sample bound with a small floor for the SROCC's own
-        # 64-pair quantization noise; the fixed --dynamics-gate remains
-        # only as a never-widening safety ceiling
-        gate = min(max(2.0 * se_diff, 0.02), args.dynamics_gate)
-        out["gate_derivation"] = {"se_diff": se_diff, "rule":
-                                  "min(max(2*SE_diff, 0.02), --dynamics-gate)"}
-    else:
-        gate = args.dynamics_gate
+    # round-5 gate (VERDICT r4 #5): FIXED ceiling + sign condition. The
+    # round-4 variance-derived gate could widen without bound on a 0-1
+    # metric — our own collapses inflated the spread that then excused
+    # them. Seeds are PAIRED (identical init per seed), so judge the
+    # paired deltas: fail if ours is worse than torch by more than the
+    # fixed gate on average, or loses more than half the paired seeds
+    # (tie = within the SROCC quantization noise of the small val split).
+    gate, tie_eps = min(args.dynamics_gate, 0.10), 0.02
+    deltas = [o - t for o, t in zip(ours_sroccs, torch_sroccs)]
+    mean_d = float(np.mean(deltas))
+    wins_or_ties = sum(1 for d in deltas if d >= -tie_eps)
+    out["paired_delta_per_seed"] = [round(float(d), 4) for d in deltas]
+    out["delta_val_srocc"] = mean_d
     out["gate"] = gate
-    out["pass"] = bool(delta <= gate)
+    out["gate_rule"] = (f"mean paired delta >= -{gate} AND wins-or-ties "
+                        f">= half of n (tie eps {tie_eps}); fixed ceiling, "
+                        f"never variance-widened")
+    out["wins_or_ties"] = wins_or_ties
+    out["pass"] = bool(mean_d >= -gate
+                       and 2 * wins_or_ties >= len(deltas))
     return out
 
 
@@ -912,15 +916,19 @@ def _release_memory():
 
 
 def _multiscale_torch_sweep(root, args):
-    """Matched multiscale mini-sweep in BOTH stacks (round-4 VERDICT item
-    5): N runs x 3 epochs of from-scratch multiscale CAPS training on
-    LIVE, each run PAIRED across stacks — identical initial weights,
-    identical train/test ref splits — so the per-run SROCC difference
-    cancels split and init variance, and the gate can be derived from the
-    measured between-run spread of the paired deltas instead of a fixed
-    constant. Protocol matches the reference's run_multi cross-validation
-    shape (run_multi.py:24-38: random-split train+test per run) at mini
-    scale (synthetic LIVE, 128-patch 3-scale training, 2 test refs)."""
+    """Matched multiscale mini-sweep in BOTH stacks: N runs x 3 epochs of
+    from-scratch multiscale CAPS training on LIVE, each run PAIRED across
+    stacks — identical initial weights, identical train/test ref splits —
+    so the per-run SROCC difference cancels split and init variance.
+    Protocol matches the reference's run_multi cross-validation shape
+    (run_multi.py:24-38: random-split train+test per run) at mini scale
+    (synthetic LIVE, 128-patch 3-scale training, 2 test refs).
+
+    Round-5 (VERDICT r4 #1/#5): n = 10 paired runs, FIXED gate (paired
+    mean >= -0.10) plus a sign condition (ours wins or ties >= half) —
+    the round-4 variance-derived gate auto-widened on the very collapses
+    it should have caught. Completed runs checkpoint to a sidecar JSONL
+    in the workdir so a crashed 2.5 h leg resumes instead of restarting."""
     import jax
     import jax.numpy as jnp
     import torch
@@ -933,7 +941,7 @@ def _multiscale_torch_sweep(root, args):
     from vtamiq_tpu.train.steps import ExtractConfig, make_train_step
     import train as ref_train  # reference train.py (via reference_shim)
 
-    n_runs, epochs = 5, 3
+    n_runs, epochs = 10, 3
     train_pc, eval_pc, batch = 128, 256, 8
     C = fresh_configs()
     point_frameworks_at(root)
@@ -945,9 +953,32 @@ def _multiscale_torch_sweep(root, args):
     ds_probe = our_dataset("live")
     n_refs = len(ds_probe.dist_images_per_image)
 
+    # sidecar resume: completed paired runs persist per (run, seed) so a
+    # crashed/restarted leg re-measures only what is missing
+    sidecar = os.path.join(getattr(args, "workdir_c4", "") or "/tmp",
+                           "torch_sweep_runs.jsonl")
+    done = {}
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                    done[(rec["run"], rec["seed"])] = rec
+                except (ValueError, KeyError):
+                    continue
+
     deltas, ours_all, torch_all = [], [], []
     for run in range(n_runs):
         seed = args.seed + 7 * run + 1
+        prior_rec = done.get((run, seed))
+        if prior_rec is not None:
+            ours_all.append(prior_rec["ours"])
+            torch_all.append(prior_rec["torch"])
+            deltas.append(prior_rec["ours"] - prior_rec["torch"])
+            print(f"torch_sweep run {run}: resumed from sidecar "
+                  f"(ours={prior_rec['ours']:.4f} torch={prior_rec['torch']:.4f})",
+                  flush=True)
+            continue
         rng = np.random.default_rng(seed)
         perm = rng.permutation(n_refs)
         train_refs = sorted(int(r) for r in perm[:17])
@@ -1027,14 +1058,21 @@ def _multiscale_torch_sweep(root, args):
         print(f"torch_sweep run {run}: ours={ours_all[-1]:.4f} "
               f"torch={torch_all[-1]:.4f} delta={deltas[-1]:+.4f}",
               flush=True)
+        with open(sidecar, "a") as f:
+            f.write(json.dumps({"run": run, "seed": seed,
+                                "ours": float(ours_all[-1]),
+                                "torch": float(torch_all[-1])}) + "\n")
         _release_memory()
 
     mean_d = float(np.mean(deltas))
     sd_d = float(np.std(deltas, ddof=1))
-    se_d = sd_d / np.sqrt(n_runs)
-    # paired-delta bound with a floor for the small-test-split SROCC
-    # quantization (~30 pairs/run)
-    gate = max(2.0 * se_d, 0.05)
+    # round-5 gate (VERDICT r4 #1/#5): FIXED — the round-4
+    # max(2*SE, 0.05) rule widened to 0.328 on the spread our own
+    # collapses created. Fail if ours is worse than torch by more than
+    # 0.10 on the paired mean, or loses the majority of paired runs
+    # (tie = within the ~30-pair test split's SROCC quantization).
+    gate, tie_eps = 0.10, 0.02
+    wins_or_ties = sum(1 for d in deltas if d >= -tie_eps)
     return {
         "protocol": f"{n_runs} paired runs x {epochs} epochs, identical "
                     f"init+splits per run, {train_pc}-patch 3-scale train, "
@@ -1045,9 +1083,13 @@ def _multiscale_torch_sweep(root, args):
         "torch_mean": round(float(np.mean(torch_all)), 4),
         "paired_delta_mean": round(mean_d, 4),
         "paired_delta_std": round(sd_d, 4),
-        "gate": round(gate, 4),
-        "gate_rule": "max(2*std(paired deltas)/sqrt(n), 0.05)",
-        "pass": bool(abs(mean_d) <= gate),
+        "collapsed_runs_ours": sum(1 for x in ours_all if x < 0.3),
+        "wins_or_ties": wins_or_ties,
+        "gate": gate,
+        "gate_rule": (f"mean paired delta >= -{gate} AND ours wins or ties "
+                      f">= half of n (tie eps {tie_eps}); fixed ceiling, "
+                      f"never variance-widened"),
+        "pass": bool(mean_d >= -gate and 2 * wins_or_ties >= len(deltas)),
     }
 
 
@@ -1116,6 +1158,7 @@ def run_config4(root, args, workdir, have_ref, prior=None, checkpoint_cb=None):
 
     sweep = None
     if have_ref and args.full:
+        args.workdir_c4 = workdir  # sidecar location for per-run resume
         sweep = _multiscale_torch_sweep(root, args)
         out["torch_sweep"] = sweep
 
