@@ -293,7 +293,8 @@ def measure_extra_configs(budget_s: float = 1500.0):
         out["mfu"] = round(stats["median"] * flops_per_pair / PEAK_FLOPS, 4)
         return out
 
-    def fused_infer(sampler, ecfg, batch, iters, bound):
+    def fused_infer(sampler, ecfg, batch, iters, bound, params_arg=None):
+        run_params = params if params_arg is None else params_arg
         extract = make_extract_fn(sampler, ecfg)
         # measured per-(variant, S, batch) choice (tools/ab_infer5000.py,
         # idle chip: B16 5000p b2 quadratic beats flash 1.31x fused; flash
@@ -314,9 +315,9 @@ def measure_extra_configs(budget_s: float = 1500.0):
             return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
 
         raw, key = fresh(batch)
-        float(loop(params, raw, jax.random.fold_in(key, 999)))  # compile
+        float(loop(run_params, raw, jax.random.fold_in(key, 999)))  # compile
         stats = timed_stats(
-            lambda t: loop(params, raw, jax.random.fold_in(key, t)),
+            lambda t: loop(run_params, raw, jax.random.fold_in(key, t)),
             batch * iters, bound)
         return row(stats, vtamiq_flops(cfg, ecfg.patch_count))
 
@@ -378,6 +379,26 @@ def measure_extra_configs(budget_s: float = 1500.0):
         pass  # budget skip already recorded
     except Exception as e:
         results["train_weighted_caps"] = {"error": f"{type(e).__name__}: {e}"}
+
+    # -- int8 W8A8 serving inference (opt-in quantized path; VERDICT r4 #6:
+    # the ~5% claim and rank-faithfulness live in ops/quant.py's ledger and
+    # docs/int8_accuracy_r5.json — this row puts the throughput into the
+    # machine-readable record; expect ~= bf16 + ~5% from weight HBM traffic) --
+    try:
+        if over_budget("infer_500p_int8", results):
+            raise StopIteration
+        from vtamiq_tpu.ops.quant import quantize_params_int8
+        params_q8 = dict(params)
+        params_q8["vit"] = quantize_params_int8(params["vit"])
+        ecfg_u = ExtractConfig(patch_count=PATCHES, patch_dim=16,
+                               norm_mean=(0.5 + salt, 0.5, 0.5))
+        results["infer_500p_int8"] = fused_infer(
+            PatchSampler(), ecfg_u, BATCH, 30, bound=5000.0,
+            params_arg=params_q8)
+    except StopIteration:
+        pass  # budget skip already recorded
+    except Exception as e:
+        results["infer_500p_int8"] = {"error": f"{type(e).__name__}: {e}"}
 
     # -- 5000-patch long-context config (Pallas flash attention) --
     sampler_u = PatchSampler()

@@ -163,3 +163,37 @@ class TestFromCheckpointValidation:
         with pytest.raises(ValueError, match="no checkpoint leaf matched"):
             VTAMIQScorer.from_checkpoint(str(tmp_path / "bogus.npz"),
                                          cfg=SMALL_CFG, patch_count=16)
+
+
+class TestUint8Ingest:
+    """ingest_uint8: uint8 host->device transfer + on-device /255 convert
+    (4x less ingest traffic on tunneled devices; see VTAMIQScorer docstring)."""
+
+    def test_uint8_matches_fp32_on_8bit_images(self):
+        rng = np.random.default_rng(5)
+        ref8 = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        dist8 = np.clip(ref8.astype(np.int16)
+                        + rng.integers(-20, 21, ref8.shape, dtype=np.int16),
+                        0, 255).astype(np.uint8)
+        ref_f = ref8.astype(np.float32) / 255.0
+        dist_f = dist8.astype(np.float32) / 255.0
+        s_f = VTAMIQScorer(cfg=SMALL_CFG, patch_count=16, seed=11)
+        s_u = VTAMIQScorer(cfg=SMALL_CFG, patch_count=16, seed=11,
+                           ingest_uint8=True)
+        s_u.params = s_f.params
+        s_u2 = VTAMIQScorer(cfg=SMALL_CFG, patch_count=16, seed=11,
+                            ingest_uint8=True)  # fresh: same sampling stream
+        s_u2.params = s_f.params
+        q_f = s_f.score_pair(ref_f, dist_f)
+        q_u = s_u.score_pair(ref8, dist8)  # uint8 passthrough
+        q_u2 = s_u2.score_pair(ref_f, dist_f)  # float input, host-quantized
+        assert abs(q_f - q_u) <= max(2e-2, 4e-2 * abs(q_f))
+        assert abs(q_u - q_u2) <= 1e-5  # same uint8 payload either way
+
+    def test_uint8_bucketed_path(self):
+        rng = np.random.default_rng(6)
+        scorer = VTAMIQScorer(cfg=SMALL_CFG, patch_count=16, seed=2,
+                              size_buckets=[(64, 64)], ingest_uint8=True)
+        ref8 = rng.integers(0, 256, (48, 56, 3), dtype=np.uint8)
+        q = scorer.score_pair(ref8, ref8)
+        assert np.isfinite(q)

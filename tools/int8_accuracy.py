@@ -82,13 +82,37 @@ def main():
     print(f"max|delta| = {maxd:.4f} over bf16 spread {spread:.4f} "
           f"({100 * maxd / max(spread, 1e-9):.1f}%)", flush=True)
 
+    per_type = {}
     print("\nper-type severity ordering, SROCC(score, -level):", flush=True)
     for tname in TYPES:
         idx = [i for i, (r, t, l) in enumerate(labels) if t == tname]
         sev = -np.asarray([labels[i][2] for i in idx], float)
         c_b = compute_correlations(np.asarray(q_bf16)[idx], sev)["SROCC"]
         c_8 = compute_correlations(np.asarray(q_int8)[idx], sev)["SROCC"]
+        per_type[tname] = {"bf16": round(float(c_b), 4),
+                           "int8": round(float(c_8), 4)}
         print(f"  {tname:16s} bf16 {c_b:+.4f}   int8 {c_8:+.4f}", flush=True)
+
+    # machine-readable artifact (VERDICT r4 #6): committed alongside the
+    # throughput row so the ops/quant.py ledger can cite it
+    import json
+    import os
+    out_path = os.environ.get("INT8_ACCURACY_OUT",
+                              "/root/repo/docs/int8_accuracy_r5.json")
+    artifact = {
+        "generated_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "checkpoint": ckpt, "seed": seed,
+        "pairs": len(refs), "patch_count": 500, "repeats": 2,
+        "SROCC_int8_vs_bf16": round(float(corr["SROCC"]), 5),
+        "PLCC_NOFIT_int8_vs_bf16": round(float(corr["PLCC_NOFIT"]), 5),
+        "max_abs_delta_q": round(maxd, 4),
+        "bf16_score_spread": round(spread, 4),
+        "max_delta_pct_of_spread": round(100 * maxd / max(spread, 1e-9), 2),
+        "per_type_severity_srocc": per_type,
+    }
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"artifact -> {out_path}", flush=True)
     print("ACCURACY DONE", flush=True)
 
 

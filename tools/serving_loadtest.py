@@ -58,17 +58,22 @@ def percentile_ms(lat_sorted, q):
 
 def run_level(batcher, rng, num_clients, num_requests):
     """Closed-loop load: ``num_clients`` threads each issue requests
-    back-to-back until the shared budget is drained."""
+    back-to-back until the shared budget is drained. Separately tracks
+    host image-generation time vs submit->score time (the breakdown the
+    round-4 verdict asked for)."""
     latencies, errors = [], []
+    gen_seconds = [0.0]
     lock = threading.Lock()
     it = iter(range(num_requests))
     stats0 = dict(batcher.stats)
 
     def fresh_pair(shape):
+        # uint8 traffic: matches the scorer's ingest_uint8 path (real images
+        # come from 8-bit sources) and is ~4x cheaper to generate/ship
         h, w = shape
-        ref = rng.random((h, w, 3), dtype=np.float32)
-        dist = np.clip(ref + rng.normal(0, 0.05, ref.shape).astype(np.float32),
-                       0, 1)
+        ref = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        noise = rng.integers(-12, 13, (h, w, 3), dtype=np.int16)
+        dist = np.clip(ref.astype(np.int16) + noise, 0, 255).astype(np.uint8)
         return ref, dist
 
     def client():
@@ -78,7 +83,9 @@ def run_level(batcher, rng, num_clients, num_requests):
                 if i is None:
                     return
                 shape = TRAFFIC_SHAPES[i % len(TRAFFIC_SHAPES)]
+                tg = time.time()
                 ref, dist = fresh_pair(shape)  # rng isn't thread-safe
+                gen_seconds[0] += time.time() - tg
             t = time.time()
             try:
                 q = batcher.score(ref, dist, timeout=120.0)
@@ -122,6 +129,7 @@ def run_level(batcher, rng, num_clients, num_requests):
         "batches": batches,
         "mean_batch_occupancy": round(served / batches, 2) if batches else None,
         "padded_slots": padded,
+        "host_imagegen_seconds": round(gen_seconds[0], 2),
     }
 
 
@@ -144,7 +152,31 @@ def main():
     out["buckets"] = [list(b) for b in buckets]
     print("buckets:", buckets, flush=True)
 
-    scorer = VTAMIQScorer(patch_count=PATCH_COUNT, size_buckets=buckets, seed=7)
+    # relay ingest-bandwidth probe: the fp32 input transfer is the serving
+    # floor on this tunneled chip (75 MB / 8-pair 512x768 batch); measure
+    # fp32 vs uint8 host->device directly so the load-curve numbers can be
+    # attributed (VERDICT r4 #8)
+    import jax
+    import jax.numpy as jnp
+    bh, bw = max(buckets)
+    probe = {}
+    for name, arr in (("float32", rng.random((8, 2, bh, bw, 3),
+                                             dtype=np.float32)),
+                      ("uint8", rng.integers(0, 256, (8, 2, bh, bw, 3),
+                                             dtype=np.uint8))):
+        t1 = time.time()
+        dev = jnp.asarray(arr)
+        float(jnp.sum(dev.astype(jnp.float32)))  # completion barrier
+        dt = time.time() - t1
+        probe[name] = {"mbytes": round(arr.nbytes / 1e6, 1),
+                       "seconds": round(dt, 2),
+                       "mbytes_per_s": round(arr.nbytes / 1e6 / max(dt, 1e-9), 1)}
+        print(f"transfer probe {name}: {probe[name]}", flush=True)
+    out["transfer_probe"] = probe
+
+    # ingest_uint8: 4x less host->device traffic; normalization on device
+    scorer = VTAMIQScorer(patch_count=PATCH_COUNT, size_buckets=buckets, seed=7,
+                          ingest_uint8=True)
     batcher = MicroBatcher(scorer, max_batch=MAX_BATCH, max_wait_ms=5.0,
                            restrict_to_warmed=True).start()
 
@@ -169,6 +201,23 @@ def main():
     pipeline_shapes = sorted({(k[1], k[2]) for k in scorer._pipelines})
     out["results"]["distinct_pipeline_shapes"] = [list(s) for s in pipeline_shapes]
     batcher.stop()
+
+    # one int8 W8A8 level (VERDICT r4 #6): quantized scorer, 4-client load
+    try:
+        scorer8 = VTAMIQScorer(patch_count=PATCH_COUNT, size_buckets=buckets,
+                               seed=7, ingest_uint8=True, quantize_int8=True)
+        batcher8 = MicroBatcher(scorer8, max_batch=MAX_BATCH, max_wait_ms=5.0,
+                                restrict_to_warmed=True).start()
+        t1 = time.time()
+        for (h, w) in buckets:
+            batcher8.warmup(h, w)
+        level8 = run_level(batcher8, rng, 4, LEVEL_REQUESTS[4])
+        level8["warmup_seconds"] = round(time.time() - t1, 1)
+        out["int8_level"] = level8
+        print("int8 level:", json.dumps(level8), flush=True)
+        batcher8.stop()
+    except Exception as e:
+        out["int8_level"] = {"error": f"{type(e).__name__}: {e}"}
 
     # score-path equivalence: a bucket-exact shape through the bucketed
     # (padded + img_hw-masked) path vs the exact-shape path, same weights
