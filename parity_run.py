@@ -676,7 +676,13 @@ def _train_dynamics_anchor(C, args, workdir, have_ref):
             cfg, PatchSampler(**C.dataset_config_base["patch_sampler_config"]),
             ExtractConfig(patch_count=patch_count, patch_dim=16,
                           norm_mean=tuple(mean), norm_std=tuple(std)),
-            optimizer)
+            optimizer,
+            # "mixed" (fp32 stream, bf16 MXU): the torch arm trains fp32;
+            # a pure-bf16 stream measurably destabilizes from-scratch
+            # training (round-5 collapse diagnosis, docs/PARITY.md), so the
+            # dynamics comparison uses the numerics policy the framework
+            # prescribes for this config class
+            compute_dtype="mixed")
         params = jax.tree_util.tree_map(jnp.asarray, params0)
         opt_state = optimizer.init(params)
         mask = build_freeze_mask(params, False, None)
@@ -1004,7 +1010,15 @@ def _multiscale_torch_sweep(root, args):
             ExtractConfig(patch_count=train_pc, patch_dim=16,
                           patch_num_scales=3, scale_num_samples_ratio=2.0,
                           norm_mean=tuple(mean), norm_std=tuple(std)),
-            optimizer)
+            optimizer,
+            # fp32: the paired sweep is an ALGORITHM parity test against the
+            # fp32 torch arm, so both arms use the same numerics class (with
+            # an fp32 stream our trajectory tracks torch's final PLCC/RMSE
+            # to 4 decimals — diag_collapse r2). The bf16-stream instability
+            # this replaces is root-caused in docs/PARITY.md round-5
+            # additions; the production "mixed" policy is exercised by the
+            # config-3 anchor and the solo engine sweep above
+            compute_dtype=jnp.float32)
         params = jax.tree_util.tree_map(jnp.asarray, params0)
         opt_state = optimizer.init(params)
         mask = build_freeze_mask(params, False, None)
@@ -1126,6 +1140,10 @@ def run_config4(root, args, workdir, have_ref, prior=None, checkpoint_cb=None):
         g["output_dir"] = workdir
         g["is_verbose"] = False
         g["max_size_buckets"] = 4  # LIVE images vary in size
+        # prescribed numerics for from-scratch multiscale training: a bf16
+        # residual stream collapses a fraction of seeds (round-5 diagnosis,
+        # docs/PARITY.md round-5 additions)
+        g["compute_dtype"] = "mixed"
         g["num_repeats_test"] = 1
         C.dataset_split_config_base["split_type"] = C.SPLIT_TYPE_RANDOM
         C.dataset_config_base["patch_num_scales"] = 3       # 16/32/64 px

@@ -144,6 +144,23 @@ class TestVTAMIQForward:
         # both batch items see zero diff -> identical outputs
         assert abs(float(q[0] - q[1])) < 1e-5
 
+    def test_mixed_policy_tracks_fp32(self):
+        """compute_dtype="mixed" (fp32 residual stream, bf16 MXU matmuls)
+        must land closer to fp32 than the pure-bf16 stream does — it exists
+        because a bf16 stream destabilizes from-scratch training (round-5
+        collapse diagnosis, docs/PARITY.md)."""
+        params = init_vtamiq_params(jax.random.PRNGKey(0), SMALL_CFG)
+        patches, pos = make_inputs(b=3, n=16, towers=2)
+        q32 = np.asarray(vtamiq_forward(params, SMALL_CFG, patches, pos,
+                                        compute_dtype=jnp.float32))
+        qmx = np.asarray(vtamiq_forward(params, SMALL_CFG, patches, pos,
+                                        compute_dtype="mixed"))
+        assert np.isfinite(qmx).all()
+        # single-sample mixed-vs-bf16 error ordering is chaotic on a tiny
+        # random model (the head amplifies cls_diff); the contract is that
+        # mixed stays in fp32's neighborhood
+        assert np.abs(qmx - q32).max() < 0.1 * max(np.abs(q32).max(), 1.0)
+
     def test_single_tower_wrapper(self):
         params = init_vtamiq_params(jax.random.PRNGKey(0), SMALL_CFG)
         patches, pos = make_inputs(b=2, n=16)

@@ -39,8 +39,16 @@ def main():
     ap.add_argument("--seed", type=int, default=0, help="args.seed of the sweep")
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--arm", choices=["ours", "torch"], default="ours")
-    ap.add_argument("--variant", choices=["baseline", "headfp32", "fp32"],
+    ap.add_argument("--variant", choices=["baseline", "headfp32", "fp32",
+                                          "mixed"],
                     default="baseline", help="ours-arm ablation")
+    ap.add_argument("--skip-small", type=int, default=0,
+                    help="ours arm: skip train batches with valid < N "
+                    "(tests the tiny-remainder-batch hypothesis: the "
+                    "exact-size loader emits ~7 valid<8 batches/epoch on "
+                    "7-size synthetic LIVE where torch's mixed-size "
+                    "batching emits none; rank/pears on 2-4 points are "
+                    "noise-dominated)")
     ap.add_argument("--platform", choices=["tpu", "cpu"], default=None,
                     help="default: tpu for ours, cpu for torch")
     ap.add_argument("--trace", default=None, help="JSONL trace path "
@@ -58,8 +66,10 @@ def main():
     import jax.numpy as jnp
     import parity_run as PR
 
-    trace_path = a.trace or (f"/tmp/diag_collapse_{a.arm}_r{a.run}_"
-                             f"{a.variant if a.arm == 'ours' else 'ref'}.jsonl")
+    vtag = a.variant if a.arm == "ours" else "ref"
+    if a.skip_small and a.arm == "ours":
+        vtag += f"_skip{a.skip_small}"
+    trace_path = a.trace or f"/tmp/diag_collapse_{a.arm}_r{a.run}_{vtag}.jsonl"
     tf = open(trace_path, "w", buffering=1)
 
     def emit(rec):
@@ -111,8 +121,12 @@ def main():
     emit(hdr)
 
     if a.arm == "ours":
-        compute_dtype = jnp.float32 if a.variant == "fp32" else jnp.bfloat16
-        head_fp32 = a.variant == "headfp32"
+        compute_dtype = {"fp32": jnp.float32, "mixed": "mixed"}.get(
+            a.variant, jnp.bfloat16)
+        # (the 'headfp32' variant was adjudicated a no-op: vit_forward
+        # already returns fp32 tokens, so the head always ran fp32;
+        # 'mixed' = fp32 residual stream + bf16 MXU matmuls — the candidate
+        # production fix if it matches fp32's stability)
 
         ds.splits_dict["SweepTrain"] = dataset_split(
             "SweepTrain", np.asarray(train_idx))
@@ -126,10 +140,9 @@ def main():
                              patch_num_scales=3, scale_num_samples_ratio=2.0,
                              norm_mean=tuple(mean), norm_std=tuple(std))
         step = make_train_step(cfg, sampler, ecfg, optimizer,
-                               compute_dtype=compute_dtype, head_fp32=head_fp32)
+                               compute_dtype=compute_dtype)
         eval_step = make_eval_step(cfg, sampler, dataclass_replace(
-            ecfg, patch_count=eval_pc), compute_dtype=compute_dtype,
-            head_fp32=head_fp32)
+            ecfg, patch_count=eval_pc), compute_dtype=compute_dtype)
 
         ds_eval = PR.our_dataset("live")
         ds_eval.splits_dict["DiagTest"] = dataset_split(
@@ -161,6 +174,8 @@ def main():
         step_i = 0
         for ep in range(epochs):
             for b in loader:
+                if a.skip_small and b.valid < a.skip_small:
+                    continue
                 key, sub = jax.random.split(key)
                 params, opt_state, m, q = step(
                     params, opt_state, mask, jnp.asarray(b.imgs_raw),

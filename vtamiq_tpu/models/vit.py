@@ -143,21 +143,44 @@ def layer_norm(params, x, eps: float = 1e-6):
     return y.astype(orig_dtype)
 
 
-def dense(params, x, dtype=None):
+def resolve_dtypes(compute_dtype):
+    """Resolve a compute policy into (stream_dtype, mm_dtype).
+
+    ``compute_dtype`` is a jnp dtype (bf16/fp32: residual stream and matmul
+    inputs share it; mm_dtype None = follow the stream) or the string
+    ``"mixed"``: fp32 residual stream/activations with bf16 matmul inputs.
+    Mixed keeps the MXU on bf16 (the FLOPs) while the stream accumulates in
+    fp32 — adjudicated by the round-5 collapse diagnosis
+    (tools/diag_collapse.py): from-scratch multiscale training at the
+    reference's run_multi protocol collapses 2/5 seeds under a bf16 stream
+    and tracks the fp32 torch reference near-exactly with an fp32 stream.
+    """
+    if isinstance(compute_dtype, str) and compute_dtype == "mixed":
+        return jnp.float32, jnp.bfloat16
+    return compute_dtype, None
+
+
+def dense(params, x, dtype=None, out_dtype=None):
+    """y = x @ kernel + bias. ``dtype``: matmul input dtype (kernel and x are
+    cast to it; default x.dtype); accumulation is always fp32 on the MXU.
+    ``out_dtype``: result dtype (default = ``dtype``) — lets a bf16 matmul
+    feed an fp32 residual stream (mixed policy)."""
     if "kernel_q8" in params:
         # leaf was rewritten by ops.quant.quantize_params_int8 (serving-only
         # W8A8 path); dispatch resolves at trace time — zero cost otherwise
         from vtamiq_tpu.ops.quant import dense_q8
-        return dense_q8(params, x, dtype)
+        return dense_q8(params, x, out_dtype or dtype)
     dtype = dtype or x.dtype
-    return (jnp.dot(x, params["kernel"].astype(dtype),
-                    preferred_element_type=jnp.float32).astype(dtype)
-            + params["bias"].astype(dtype))
+    out_dtype = out_dtype or dtype
+    return (jnp.dot(x.astype(dtype), params["kernel"].astype(dtype),
+                    preferred_element_type=jnp.float32).astype(out_dtype)
+            + params["bias"].astype(out_dtype))
 
 
 def mhsa(params, x, num_heads: int, mask: Optional[jnp.ndarray] = None,
          attention_fn=None, return_attention: bool = False,
-         logits_fp32: bool = False, q_len: Optional[int] = None):
+         logits_fp32: bool = False, q_len: Optional[int] = None,
+         mm_dtype=None):
     """Multi-head self-attention (reference: transformer.py:125-172).
 
     x: (B, S, H); mask: optional (B, S) bool of valid key positions.
@@ -182,41 +205,43 @@ def mhsa(params, x, num_heads: int, mask: Optional[jnp.ndarray] = None,
     """
     b, s, h = x.shape
     d = h // num_heads
-    dtype = x.dtype
+    dtype = x.dtype              # residual-stream dtype
+    mm = mm_dtype or dtype       # matmul-input dtype (bf16 under "mixed")
 
     xq = x if q_len is None else x[:, :q_len]
-    q = dense(params["query"], xq, dtype).reshape(b, xq.shape[1], num_heads, d)
-    k = dense(params["key"], x, dtype).reshape(b, s, num_heads, d)
-    v = dense(params["value"], x, dtype).reshape(b, s, num_heads, d)
+    q = dense(params["query"], xq, mm).reshape(b, xq.shape[1], num_heads, d)
+    k = dense(params["key"], x, mm).reshape(b, s, num_heads, d)
+    v = dense(params["value"], x, mm).reshape(b, s, num_heads, d)
 
     probs_out = None
     if attention_fn is not None and not return_attention and q_len is None:
         ctx = attention_fn(q, k, v, mask)
     else:
-        logits_dtype = jnp.float32 if (logits_fp32 or dtype == jnp.float32) else dtype
+        logits_dtype = jnp.float32 if (logits_fp32 or dtype == jnp.float32) else mm
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=logits_dtype) / math.sqrt(d)
         if mask is not None:
             logits = jnp.where(mask[:, None, None, :],
                                logits, jnp.asarray(NEG_INF, logits.dtype))
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(mm)
         if return_attention:
             probs_out = probs
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                         preferred_element_type=jnp.float32).astype(dtype)
+                         preferred_element_type=jnp.float32).astype(mm)
 
     ctx = ctx.reshape(b, xq.shape[1], h)
-    return dense(params["out"], ctx, dtype), probs_out
+    return dense(params["out"], ctx, mm, out_dtype=dtype), probs_out
 
 
-def mlp_block(params, x):
-    y = jax.nn.gelu(dense(params["fc1"], x), approximate=False)
-    return dense(params["fc2"], y)
+def mlp_block(params, x, mm_dtype=None):
+    y = jax.nn.gelu(dense(params["fc1"], x, mm_dtype), approximate=False)
+    return dense(params["fc2"], y, mm_dtype, out_dtype=x.dtype)
 
 
-def adapter_block(params, x):
+def adapter_block(params, x, mm_dtype=None):
     """Houlsby adapter: x + up(gelu(down(x))) (transformer.py:177-194)."""
-    return x + dense(params["up"], jax.nn.gelu(dense(params["down"], x), approximate=False))
+    y = jax.nn.gelu(dense(params["down"], x, mm_dtype), approximate=False)
+    return x + dense(params["up"], y, mm_dtype, out_dtype=x.dtype)
 
 
 def drop_path(key, x, prob: float):
@@ -232,7 +257,7 @@ def drop_path(key, x, prob: float):
 def encoder_layer(params, x, cfg: ViTConfig, mask=None, adapter_num: int = -1,
                   train: bool = False, rng: Optional[jax.Array] = None,
                   attention_fn=None, return_attention: bool = False,
-                  q_len: Optional[int] = None):
+                  q_len: Optional[int] = None, mm_dtype=None):
     """Pre-LN block: x += DP(LS1(MHSA(LN(x)))); x += DP(LS2(MLP(LN(x))))
     (reference: transformer.py:275-285). Returns (x, attn_probs | None).
 
@@ -251,18 +276,19 @@ def encoder_layer(params, x, cfg: ViTConfig, mask=None, adapter_num: int = -1,
     h, attn_probs = mhsa(params["attn"], layer_norm(params["ln1"], x),
                          cfg.num_heads, mask=mask, attention_fn=attention_fn,
                          return_attention=return_attention,
-                         logits_fp32=cfg.attn_logits_fp32, q_len=q_len)
+                         logits_fp32=cfg.attn_logits_fp32, q_len=q_len,
+                         mm_dtype=mm_dtype)
     if adapter is not None:
-        h = adapter_block(adapter["attn"], h)
+        h = adapter_block(adapter["attn"], h, mm_dtype)
     if cfg.use_layer_scale:
         h = h * params["ls1"].astype(h.dtype)
     if rng1 is not None:
         h = drop_path(rng1, h, dp_prob)
     x = (x if q_len is None else x[:, :q_len]) + h
 
-    h = mlp_block(params["mlp"], layer_norm(params["ln2"], x))
+    h = mlp_block(params["mlp"], layer_norm(params["ln2"], x), mm_dtype)
     if adapter is not None:
-        h = adapter_block(adapter["mlp"], h)
+        h = adapter_block(adapter["mlp"], h, mm_dtype)
     if cfg.use_layer_scale:
         h = h * params["ls2"].astype(h.dtype)
     if rng2 is not None:
@@ -306,10 +332,14 @@ def embed_patches(params, cfg: ViTConfig, patches, pos, scales=None,
     """
     emb = params["embeddings"]
     b, n = patches.shape[0], patches.shape[1]
+    stream, mm = resolve_dtypes(compute_dtype)
+    compute_dtype = stream
 
-    x = patches.reshape(b, n, -1).astype(compute_dtype)
+    x = patches.reshape(b, n, -1).astype(mm or stream)
     if cfg.use_patch_embedding and not pre_embedded:
-        x = dense(emb["patch"], x, compute_dtype)
+        x = dense(emb["patch"], x, mm, out_dtype=stream)
+    else:
+        x = x.astype(stream)
 
     if cfg.use_pos_embedding:
         x = x + uv_pos_lookup(emb["pos_embeddings"], pos, cfg.pos_grid).astype(compute_dtype)
@@ -368,6 +398,7 @@ def vit_forward(params, cfg: ViTConfig, patches, pos, scales=None, *,
     """
     b, n = patches.shape[0], patches.shape[1]
     t = cfg.num_tokens
+    stream_dtype, mm_dtype = resolve_dtypes(compute_dtype)
     x = embed_patches(params, cfg, patches, pos, scales, compute_dtype,
                       pre_embedded=pre_embedded)
 
@@ -401,7 +432,8 @@ def vit_forward(params, cfg: ViTConfig, patches, pos, scales=None, *,
         return encoder_layer(layer_params, x, cfg, mask=mask,
                              adapter_num=adapter_num, train=train,
                              rng=layer_rng, attention_fn=attention_fn,
-                             return_attention=return_attention, q_len=q_len)
+                             return_attention=return_attention, q_len=q_len,
+                             mm_dtype=mm_dtype)
 
     if cfg.remat:
         run_layer = jax.checkpoint(run_layer, static_argnums=(3,))

@@ -164,6 +164,10 @@ global_config = OrderedDict(
     save_test_outputs_txt="output_qs.txt",
 
     # TPU-specific
+    # "bfloat16" | "mixed" | "float32". "mixed" = fp32 residual stream with
+    # bf16 MXU matmuls: required for stable from-scratch training at small
+    # batch/tiny datasets (round-5 collapse diagnosis, docs/PARITY.md);
+    # "bfloat16" is fastest and stable at the production configs (KADID 500p)
     compute_dtype="bfloat16",
     mesh_data=1,   # data-parallel mesh axis size (1 = single chip)
     mesh_model=1,  # tensor-parallel mesh axis size

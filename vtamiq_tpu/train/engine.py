@@ -475,7 +475,8 @@ def train():
         log(f"Multi-host run ({jax.process_count()} processes): auto mesh "
             f"data={jax.device_count()} model=1")
 
-    compute_dtype = jnp.bfloat16 if g["compute_dtype"] == "bfloat16" else jnp.float32
+    compute_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                     "mixed": "mixed"}[g["compute_dtype"]]
     sampler = PatchSampler(**C.dataset_config_base["patch_sampler_config"])
 
     # model-input normalization is fused into the device step
@@ -495,9 +496,11 @@ def train():
             norm_mean=tuple(norm_mean) if norm_mean is not None else None,
             norm_std=tuple(norm_std) if norm_std is not None else None,
             # an fp32 run must not quietly round its model inputs to bf16
-            # in the fused gather (ExtractConfig default)
-            gather_dtype=("bfloat16" if compute_dtype == jnp.bfloat16
-                          else "float32"),
+            # in the fused gather (ExtractConfig default); "mixed" gathers
+            # bf16 — the patches' first consumer is the bf16 patch-embed
+            # matmul, and pixels are 8-bit-sourced anyway
+            gather_dtype=("float32" if compute_dtype == jnp.float32
+                          else "bfloat16"),
             pu_display_encode=bool(g["use_pu"]))
 
     steps_per_epoch = len(loader_train) if loader_train is not None else 1
