@@ -53,6 +53,11 @@ def main():
                     help="quantize the ViT encoder to int8 W8A8 at load "
                          "(2x smaller weights, ~5%% faster, rank-faithful "
                          "scores — see ops/quant.py's measurement ledger)")
+    ap.add_argument("--ingest-uint8", action="store_true",
+                    help="ship images host->device as uint8 and normalize "
+                         "on device: 4x less ingest traffic (pair with "
+                         "uint8 npz payloads for 4x smaller requests too); "
+                         "exact for 8-bit-sourced images")
     ap.add_argument("--restrict-to-warmed", action="store_true",
                     help="reject novel image sizes fast instead of letting "
                          "them stall the dispatcher behind an XLA compile "
@@ -60,7 +65,7 @@ def main():
     args = ap.parse_args()
 
     kwargs = dict(patch_count=args.patch_count, num_repeats=args.num_repeats,
-                  quantize_int8=args.int8)
+                  quantize_int8=args.int8, ingest_uint8=args.ingest_uint8)
     if args.size_buckets:
         if len(args.size_buckets) % 2:
             ap.error("--size-buckets needs an even count of ints (H W pairs)")

@@ -677,12 +677,12 @@ def _train_dynamics_anchor(C, args, workdir, have_ref):
             ExtractConfig(patch_count=patch_count, patch_dim=16,
                           norm_mean=tuple(mean), norm_std=tuple(std)),
             optimizer,
-            # "mixed" (fp32 stream, bf16 MXU): the torch arm trains fp32;
-            # a pure-bf16 stream measurably destabilizes from-scratch
-            # training (round-5 collapse diagnosis, docs/PARITY.md), so the
-            # dynamics comparison uses the numerics policy the framework
-            # prescribes for this config class
-            compute_dtype="mixed")
+            # fp32: the dynamics anchor is an ALGORITHM parity test against
+            # the fp32 torch arm — both arms use the same numerics class
+            # (round-5 collapse diagnosis, docs/PARITY.md round-5 additions;
+            # bf16 remains the validated production mode at this config —
+            # the round-4 anchor passed under it)
+            compute_dtype=jnp.float32)
         params = jax.tree_util.tree_map(jnp.asarray, params0)
         opt_state = optimizer.init(params)
         mask = build_freeze_mask(params, False, None)
@@ -1140,10 +1140,13 @@ def run_config4(root, args, workdir, have_ref, prior=None, checkpoint_cb=None):
         g["output_dir"] = workdir
         g["is_verbose"] = False
         g["max_size_buckets"] = 4  # LIVE images vary in size
-        # prescribed numerics for from-scratch multiscale training: a bf16
-        # residual stream collapses a fraction of seeds (round-5 diagnosis,
-        # docs/PARITY.md round-5 additions)
-        g["compute_dtype"] = "mixed"
+        # prescribed numerics for from-scratch multiscale training: fp32.
+        # The round-5 diagnosis (docs/PARITY.md round-5 additions) showed a
+        # bf16 stream collapses a fraction of seeds here, and the "mixed"
+        # half-measure (fp32 stream, bf16 MXU) still collapsed one of the
+        # two diagnosed seeds — in this chaotic from-scratch regime the
+        # matmul rounding alone changes basins
+        g["compute_dtype"] = "float32"
         g["num_repeats_test"] = 1
         C.dataset_split_config_base["split_type"] = C.SPLIT_TYPE_RANDOM
         C.dataset_config_base["patch_num_scales"] = 3       # 16/32/64 px

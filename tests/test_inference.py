@@ -190,6 +190,20 @@ class TestUint8Ingest:
         assert abs(q_f - q_u) <= max(2e-2, 4e-2 * abs(q_f))
         assert abs(q_u - q_u2) <= 1e-5  # same uint8 payload either way
 
+    def test_uint8_input_without_ingest_uint8(self):
+        """uint8 inputs are valid WITHOUT ingest_uint8 too: the scorer
+        normalizes them to [0, 1] fp32 host-side (serving._load_npz passes
+        uint8 payloads through, so this is the default-server contract)."""
+        rng = np.random.default_rng(7)
+        ref8 = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        s_a = VTAMIQScorer(cfg=SMALL_CFG, patch_count=16, seed=3)
+        s_b = VTAMIQScorer(cfg=SMALL_CFG, patch_count=16, seed=3)
+        s_b.params = s_a.params
+        q_f = s_a.score_pair(ref8.astype(np.float32) / 255.0,
+                             ref8.astype(np.float32) / 255.0)
+        q_u = s_b.score_pair(ref8, ref8)
+        assert abs(q_f - q_u) < 1e-5  # identical bytes on device
+
     def test_uint8_bucketed_path(self):
         rng = np.random.default_rng(6)
         scorer = VTAMIQScorer(cfg=SMALL_CFG, patch_count=16, seed=2,

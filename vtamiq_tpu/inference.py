@@ -229,6 +229,8 @@ class VTAMIQScorer:
                     return img
                 return np.clip(np.asarray(img, np.float32) * 255.0 + 0.5,
                                0, 255).astype(np.uint8)
+            if img.dtype == np.uint8:  # uint8 inputs are valid either way
+                return np.asarray(img, np.float32) / 255.0
             return np.asarray(img, np.float32)
 
         for size, idxs in groups.items():

@@ -280,13 +280,18 @@ class MicroBatcher:
 # --------------------------------------------------------------------------
 
 def _load_npz(body: bytes, names: Sequence[str]) -> Tuple[np.ndarray, ...]:
+    """uint8 arrays pass through UNCONVERTED (VTAMIQScorer treats uint8 as
+    0-255 image data on every path; with ``ingest_uint8`` they ship to the
+    device as-is — 4x smaller payloads AND 4x less device ingest). Anything
+    else coerces to fp32 [0, 1]."""
     data = np.load(io.BytesIO(body))
     missing = [n for n in names if n not in data]
     if missing:
         raise KeyError(f"npz body missing arrays: {missing}")
     out = []
     for n in names:
-        arr = np.asarray(data[n], np.float32)
+        arr = data[n]
+        arr = arr if arr.dtype == np.uint8 else np.asarray(arr, np.float32)
         if arr.ndim != 3 or arr.shape[-1] != 3:
             raise ValueError(f"array {n!r} must be (H, W, 3), got {arr.shape}")
         out.append(arr)
