@@ -164,10 +164,13 @@ global_config = OrderedDict(
     save_test_outputs_txt="output_qs.txt",
 
     # TPU-specific
-    # "bfloat16" | "mixed" | "float32". "mixed" = fp32 residual stream with
-    # bf16 MXU matmuls: required for stable from-scratch training at small
-    # batch/tiny datasets (round-5 collapse diagnosis, docs/PARITY.md);
-    # "bfloat16" is fastest and stable at the production configs (KADID 500p)
+    # "bfloat16" | "mixed" | "float32". "bfloat16" is fastest and validated
+    # at the production configs (KADID 500p). From-scratch small-batch/
+    # tiny-dataset training should use "float32": a bf16 stream collapses a
+    # fraction of seeds there, and "mixed" (fp32 residual stream, bf16 MXU
+    # matmuls) reduces but does not eliminate the risk — the matmul rounding
+    # alone can change basins in that chaotic regime (round-5 collapse
+    # diagnosis, docs/PARITY.md round-5 additions)
     compute_dtype="bfloat16",
     mesh_data=1,   # data-parallel mesh axis size (1 = single chip)
     mesh_model=1,  # tensor-parallel mesh axis size
