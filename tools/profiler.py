@@ -515,7 +515,9 @@ def main():
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("cmd", choices=["stages", "extract", "attention", "train",
                                    "configs", "tune5000", "variants"])
-    p.add_argument("--patches", type=int, default=500)
+    p.add_argument("--patches", type=int, default=None,
+                   help="patch count (default: 5000 for tune5000 — the "
+                        "command tunes the long-context config — else 500)")
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--layers", type=int, default=6)
     p.add_argument("--iters", type=int, default=30)
@@ -532,6 +534,8 @@ def main():
     p.add_argument("--ab-backward", action="store_true",
                    help="train: A/B pallas vs recompute flash backward")
     args = p.parse_args()
+    if args.patches is None:
+        args.patches = 5000 if args.cmd == "tune5000" else 500
     print(f"device: {jax.devices()[0]}  seed: {SEED}", flush=True)
     {"stages": cmd_stages, "extract": cmd_extract, "attention": cmd_attention,
      "train": cmd_train, "configs": cmd_configs,
