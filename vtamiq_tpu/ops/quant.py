@@ -32,7 +32,9 @@ patches x 2 repeats, 2026-08-19): SROCC(int8, bf16) = 0.99987,
 PLCC_NOFIT = 0.99998, max |delta| = 0.5% of the bf16 score spread, and
 per-family severity orderings agree to <=0.006 SROCC. The feared
 ref-minus-dist noise amplification does not materialize at W8A8 — the
-quantized path is rank-faithful for serving.
+quantized path is rank-faithful for serving. Machine-readable artifact:
+docs/int8_accuracy_r5.json (round 5); throughput row: BENCH_r05
+``infer_500p_int8``.
 
 Recipe (the standard W8A8 dynamic scheme):
 - weights: symmetric per-OUTPUT-channel int8, scale = amax(col)/127,
