@@ -131,6 +131,23 @@ class TestEngineEndToEnd:
         assert os.path.isfile(os.path.join(out_dir, "output_qs.txt"))
         assert os.path.isdir(os.path.join(out_dir, "source_code"))
 
+    def test_train_compute_dtype_mixed(self, config_sandbox, tmp_path):
+        """compute_dtype="mixed" (fp32 residual stream, bf16 MXU matmuls —
+        round-5 collapse diagnosis, docs/PARITY.md) runs end-to-end through
+        the engine: config string -> steps -> vit_forward."""
+        C = config_sandbox
+        setup_tiny_run(C, tmp_path)
+        g = C.global_config
+        g["do_train"] = True
+        g["do_val"] = False
+        g["do_test"] = True
+        g["allow_use_full_dataset_test"] = False
+        g["compute_dtype"] = "mixed"
+        g["seed"] = 9
+        correlations = engine.train()
+        assert correlations is not None
+        assert np.isfinite(correlations[PLCC_FIELD])
+
     def test_debug_train_writes_nothing(self, config_sandbox, tmp_path):
         C = config_sandbox
         setup_tiny_run(C, tmp_path)
