@@ -113,6 +113,13 @@ def parse_args(argv=None):
                         "--torch-pairs)")
     p.add_argument("--checkpoint", default=None,
                    help="framework checkpoint (.npz) to use instead of quick-training")
+    p.add_argument("--sweep-runs", type=int, default=10,
+                   help="config-4 paired torch-sweep run budget (full mode; "
+                        "the persistent sidecar extends n across reruns)")
+    p.add_argument("--sweep-deadline-ts", type=float, default=0.0,
+                   help="epoch seconds; past this no NEW paired sweep run "
+                        "starts (chip must be idle before the driver's "
+                        "end-of-round bench) — completed runs gate as-is")
     p.add_argument("--resume-partial", action="store_true",
                    help="seed the report with completed configs from "
                         "OUT.partial (crash recovery)")
@@ -947,7 +954,8 @@ def _multiscale_torch_sweep(root, args):
     from vtamiq_tpu.train.steps import ExtractConfig, make_train_step
     import train as ref_train  # reference train.py (via reference_shim)
 
-    n_runs, epochs = 10, 3
+    n_runs = max(1, int(getattr(args, "sweep_runs", 10) or 10))
+    epochs = 3
     train_pc, eval_pc, batch = 128, 256, 8
     C = fresh_configs()
     point_frameworks_at(root)
@@ -960,9 +968,10 @@ def _multiscale_torch_sweep(root, args):
     n_refs = len(ds_probe.dist_images_per_image)
 
     # sidecar resume: completed paired runs persist per (run, seed) so a
-    # crashed/restarted leg re-measures only what is missing
-    sidecar = os.path.join(getattr(args, "workdir_c4", "") or "/tmp",
-                           "torch_sweep_runs.jsonl")
+    # crashed/restarted leg re-measures only what is missing. Lives NEXT TO
+    # the report (not the tmp workdir) so resume works across invocations
+    # and VM restarts — round-5: the tmp sidecar died with the workdir.
+    sidecar = os.path.abspath(args.out) + ".c4sweep.jsonl"
     done = {}
     if os.path.exists(sidecar):
         with open(sidecar) as f:
@@ -974,6 +983,8 @@ def _multiscale_torch_sweep(root, args):
                     continue
 
     deltas, ours_all, torch_all = [], [], []
+    truncated = 0
+    deadline = float(getattr(args, "sweep_deadline_ts", 0) or 0)
     for run in range(n_runs):
         seed = args.seed + 7 * run + 1
         prior_rec = done.get((run, seed))
@@ -985,6 +996,14 @@ def _multiscale_torch_sweep(root, args):
                   f"(ours={prior_rec['ours']:.4f} torch={prior_rec['torch']:.4f})",
                   flush=True)
             continue
+        if deadline and time.time() > deadline and len(deltas) >= 2:
+            # no NEW paired run starts past the deadline: the chip must be
+            # idle before the driver's end-of-round bench. Completed runs
+            # gate as-is; the persistent sidecar extends n on a later rerun.
+            truncated = n_runs - run
+            print(f"torch_sweep: deadline reached before run {run}; gating "
+                  f"on the {len(deltas)} completed paired runs", flush=True)
+            break
         rng = np.random.default_rng(seed)
         perm = rng.permutation(n_refs)
         train_refs = sorted(int(r) for r in perm[:17])
@@ -1088,9 +1107,12 @@ def _multiscale_torch_sweep(root, args):
     gate, tie_eps = 0.10, 0.02
     wins_or_ties = sum(1 for d in deltas if d >= -tie_eps)
     return {
-        "protocol": f"{n_runs} paired runs x {epochs} epochs, identical "
+        "protocol": f"{len(deltas)} paired runs x {epochs} epochs, identical "
                     f"init+splits per run, {train_pc}-patch 3-scale train, "
                     f"{eval_pc}-patch eval x2 repeats on 6 held-out refs",
+        "runs_completed": len(deltas),
+        "runs_planned": n_runs,
+        "deadline_truncated_runs": truncated,
         "ours_SROCC": [round(float(x), 4) for x in ours_all],
         "torch_SROCC": [round(float(x), 4) for x in torch_all],
         "ours_mean": round(float(np.mean(ours_all)), 4),
