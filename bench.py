@@ -37,7 +37,10 @@ PEAK_FLOPS = 197e12
 # 5000-patch train batch: the tune5000 production point (tools/profiler.py).
 # Round-4 sweep (same chip, concurrent-load relative A/B): b8 no-remat 6.39
 # pairs/s vs b4 no-remat 3.68 vs b8 remat 5.42 — batch 8 fills the MXU the
-# fused Pallas backward leaves idle at b4.
+# fused Pallas backward leaves idle at b4. The IDLE-chip sizes are smaller
+# than that contended ratio suggests: round-3 bench read b4 5.92 and
+# round-4 read b8 7.22, i.e. b8 is ~1.22x b4 idle (the 1.74x in the sweep
+# log was amplified by the concurrent parity job). b8 remains the winner.
 TRAIN_5000P_BATCH = 8
 
 
