@@ -420,6 +420,21 @@ def _jackknife_se(ys_flat, yp_flat, repeats):
     return out
 
 
+def paired_gate_verdict(deltas, gate=0.10, tie_eps=0.02):
+    """Fixed-ceiling paired dynamics gate (VERDICT r4 #5): pass iff the
+    mean paired delta (ours - torch) is not below ``-gate`` AND ours wins
+    or ties at least half the paired legs (tie = within ``tie_eps``, the
+    SROCC quantization noise of a small val split). The gate is a FIXED
+    ceiling — never derived from the observed variance, which the round-4
+    rule let our own collapses inflate. Returns (mean_delta, wins_or_ties,
+    pass)."""
+    deltas = [float(d) for d in deltas]
+    mean_d = float(np.mean(deltas))
+    wins_or_ties = sum(1 for d in deltas if d >= -tie_eps)
+    ok = bool(mean_d >= -gate and 2 * wins_or_ties >= len(deltas))
+    return mean_d, wins_or_ties, ok
+
+
 def pearson_gate_decision(d_plcc, d_plcc_nofit, se_delta, gate, fit_free):
     """Pick the Pearson gate metric for an anchor comparison.
 
@@ -790,8 +805,7 @@ def _train_dynamics_anchor(C, args, workdir, have_ref):
     # (tie = within the SROCC quantization noise of the small val split).
     gate, tie_eps = min(args.dynamics_gate, 0.10), 0.02
     deltas = [o - t for o, t in zip(ours_sroccs, torch_sroccs)]
-    mean_d = float(np.mean(deltas))
-    wins_or_ties = sum(1 for d in deltas if d >= -tie_eps)
+    mean_d, wins_or_ties, gate_ok = paired_gate_verdict(deltas, gate, tie_eps)
     out["paired_delta_per_seed"] = [round(float(d), 4) for d in deltas]
     out["delta_val_srocc"] = mean_d
     out["gate"] = gate
@@ -799,8 +813,7 @@ def _train_dynamics_anchor(C, args, workdir, have_ref):
                         f">= half of n (tie eps {tie_eps}); fixed ceiling, "
                         f"never variance-widened")
     out["wins_or_ties"] = wins_or_ties
-    out["pass"] = bool(mean_d >= -gate
-                       and 2 * wins_or_ties >= len(deltas))
+    out["pass"] = gate_ok
     return out
 
 
@@ -1097,7 +1110,6 @@ def _multiscale_torch_sweep(root, args):
                                 "torch": float(torch_all[-1])}) + "\n")
         _release_memory()
 
-    mean_d = float(np.mean(deltas))
     sd_d = float(np.std(deltas, ddof=1))
     # round-5 gate (VERDICT r4 #1/#5): FIXED — the round-4
     # max(2*SE, 0.05) rule widened to 0.328 on the spread our own
@@ -1105,7 +1117,7 @@ def _multiscale_torch_sweep(root, args):
     # 0.10 on the paired mean, or loses the majority of paired runs
     # (tie = within the ~30-pair test split's SROCC quantization).
     gate, tie_eps = 0.10, 0.02
-    wins_or_ties = sum(1 for d in deltas if d >= -tie_eps)
+    mean_d, wins_or_ties, gate_ok = paired_gate_verdict(deltas, gate, tie_eps)
     return {
         "protocol": f"{len(deltas)} paired runs x {epochs} epochs, identical "
                     f"init+splits per run, {train_pc}-patch 3-scale train, "
@@ -1125,7 +1137,7 @@ def _multiscale_torch_sweep(root, args):
         "gate_rule": (f"mean paired delta >= -{gate} AND ours wins or ties "
                       f">= half of n (tie eps {tie_eps}); fixed ceiling, "
                       f"never variance-widened"),
-        "pass": bool(mean_d >= -gate and 2 * wins_or_ties >= len(deltas)),
+        "pass": gate_ok,
     }
 
 

@@ -228,3 +228,37 @@ class TestHarvest:
         assert len(runs) == 2
         assert runs[0]["SROCC"] == 0.760266370699223
         assert runs[1]["SROCC"] == 0.5
+
+
+class TestPairedGateVerdict:
+    """Round-5 fixed-ceiling paired dynamics gate (VERDICT r4 #5)."""
+
+    def test_all_wins_passes(self):
+        mean_d, wins, ok = parity_run.paired_gate_verdict(
+            [0.05, 0.01, 0.12, 0.0])
+        assert ok and wins == 4 and mean_d > 0
+
+    def test_mean_below_fixed_ceiling_fails(self):
+        # one catastrophic collapse drags the mean below -0.10: must fail
+        # even though ours wins 3/4 legs — the gate may not widen with the
+        # variance that collapse created
+        _, _, ok = parity_run.paired_gate_verdict([0.02, 0.03, 0.01, -0.55])
+        assert not ok
+
+    def test_majority_losses_fail_despite_mean(self):
+        # mean inside the ceiling but ours loses 3/4 paired legs
+        mean_d, wins, ok = parity_run.paired_gate_verdict(
+            [-0.05, -0.06, -0.04, 0.09])
+        assert mean_d >= -0.10 and wins == 1 and not ok
+
+    def test_tie_eps_counts_quantization_noise_as_tie(self):
+        _, wins, ok = parity_run.paired_gate_verdict(
+            [-0.019, -0.01, 0.0, 0.001], tie_eps=0.02)
+        assert wins == 4 and ok
+
+    def test_gate_is_fixed_not_variance_derived(self):
+        # the round-4 failure mode: huge spread, mean -0.267 — a 2*SE rule
+        # widened to 0.328 and passed it; the fixed rule must fail it
+        deltas = [-0.05, 0.02, -0.62, -0.71, 0.025]  # r4-sweep-like
+        mean_d, _, ok = parity_run.paired_gate_verdict(deltas)
+        assert mean_d < -0.10 and not ok
