@@ -49,12 +49,26 @@ def main():
                     "7-size synthetic LIVE where torch's mixed-size "
                     "batching emits none; rank/pears on 2-4 points are "
                     "noise-dominated)")
+    ap.add_argument("--buckets", type=int, default=0,
+                    help="ours arm: train with canonical-bucket padding "
+                    "(PatchDatasetLoader max_size_buckets=N). Tests the "
+                    "BATCH-COMPOSITION hypothesis: exact-size batching on "
+                    "7-size synthetic LIVE confines every batch to one "
+                    "size (few refs, 7 tiny remainders/epoch, down to "
+                    "valid=1) where torch's loader mixes all refs freely; "
+                    "rank/pears are batch-relative, so composition shapes "
+                    "their gradients. buckets=1 pads everything to one "
+                    "shape -> fully mixed batches, 1 remainder, img_hw "
+                    "masking keeps sampling exact (round-5, seed-8 fp32 "
+                    "collapse)")
     ap.add_argument("--platform", choices=["tpu", "cpu"], default=None,
                     help="default: tpu for ours, cpu for torch")
     ap.add_argument("--trace", default=None, help="JSONL trace path "
                     "(default /tmp/diag_collapse_<arm>_r<run>_<variant>.jsonl)")
     ap.add_argument("--eval-every", type=int, default=1,
                     help="held-out eval every N epochs (0 = final only)")
+    ap.add_argument("--max-steps", type=int, default=0,
+                    help="stop after N train steps (smoke tests; 0 = all)")
     a = ap.parse_args()
 
     platform = a.platform or ("cpu" if a.arm == "torch" else "tpu")
@@ -69,6 +83,8 @@ def main():
     vtag = a.variant if a.arm == "ours" else "ref"
     if a.skip_small and a.arm == "ours":
         vtag += f"_skip{a.skip_small}"
+    if a.buckets and a.arm == "ours":
+        vtag += f"_bkt{a.buckets}"
     trace_path = a.trace or f"/tmp/diag_collapse_{a.arm}_r{a.run}_{vtag}.jsonl"
     tf = open(trace_path, "w", buffering=1)
 
@@ -132,7 +148,7 @@ def main():
             "SweepTrain", np.asarray(train_idx))
         loader = PatchDatasetLoader(ds, "SweepTrain", batch_size=batch,
                                     patch_count=train_pc, shuffle=True,
-                                    seed=seed)
+                                    seed=seed, max_size_buckets=a.buckets)
         mean, std = ds.get_norm_mean_std()
         optimizer, schedule = make_optimizer(g, max(1, len(loader)) * epochs)
         sampler = PatchSampler(**C.dataset_config_base["patch_sampler_config"])
@@ -177,9 +193,11 @@ def main():
                 if a.skip_small and b.valid < a.skip_small:
                     continue
                 key, sub = jax.random.split(key)
+                hw = jnp.asarray(b.img_hw) if a.buckets else None
                 params, opt_state, m, q = step(
                     params, opt_state, mask, jnp.asarray(b.imgs_raw),
-                    jnp.asarray(b.qs), jnp.asarray(b.valid), sub, lw)
+                    jnp.asarray(b.qs), jnp.asarray(b.valid), sub, lw,
+                    img_hw=hw)
                 qn = np.asarray(q, float)[: b.valid]
                 rec = {"kind": "step", "ep": ep, "step": step_i,
                        "loss": float(m["loss"]), "mae": float(m["mae"]),
@@ -197,6 +215,10 @@ def main():
                           f"gn={rec['gnorm']:.3f} qstd={rec['q_std']:.5f}",
                           flush=True)
                 step_i += 1
+                if a.max_steps and step_i >= a.max_steps:
+                    print(f"max-steps {a.max_steps} reached", flush=True)
+                    emit({"kind": "final", "truncated_at_step": step_i})
+                    return 0
             if a.eval_every and (ep + 1) % a.eval_every == 0:
                 corr = run_eval(params)
                 rec = {"kind": "eval", "ep": ep,
