@@ -166,11 +166,17 @@ global_config = OrderedDict(
     # TPU-specific
     # "bfloat16" | "mixed" | "float32". "bfloat16" is fastest and validated
     # at the production configs (KADID 500p). From-scratch small-batch/
-    # tiny-dataset training should use "float32": a bf16 stream collapses a
-    # fraction of seeds there, and "mixed" (fp32 residual stream, bf16 MXU
-    # matmuls) reduces but does not eliminate the risk — the matmul rounding
-    # alone can change basins in that chaotic regime (round-5 collapse
-    # diagnosis, docs/PARITY.md round-5 additions)
+    # tiny-dataset training should use "float32" AND mixed-composition
+    # batches: a bf16 stream collapses a fraction of seeds there, "mixed"
+    # (fp32 residual stream, bf16 MXU matmuls) reduces but does not
+    # eliminate the risk, and fp32 LOWERS the collapse rate without zeroing
+    # it (round-5 paired sweep: seed 8 collapsed under full fp32). On
+    # variable-size datasets also set max_size_buckets>0 so batches mix
+    # references the way the reference's loader does — exact-size batching
+    # confines each batch to one size and emits tiny remainder batches —
+    # the leading suspect for the residual collapses, since rank/pears are
+    # batch-relative (round-5 collapse diagnosis, docs/PARITY.md round-5
+    # additions; test with tools/diag_collapse.py --buckets 1)
     compute_dtype="bfloat16",
     mesh_data=1,   # data-parallel mesh axis size (1 = single chip)
     mesh_model=1,  # tensor-parallel mesh axis size
