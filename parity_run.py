@@ -954,7 +954,18 @@ def _multiscale_torch_sweep(root, args):
     mean >= -0.10) plus a sign condition (ours wins or ties >= half) —
     the round-4 variance-derived gate auto-widened on the very collapses
     it should have caught. Completed runs checkpoint to a sidecar JSONL
-    in the workdir so a crashed 2.5 h leg resumes instead of restarting."""
+    in the workdir so a crashed 2.5 h leg resumes instead of restarting.
+
+    Ours arm runs fp32 + max_size_buckets=1 (canonical-bucket padding with
+    img_hw-confined sampling): the collapse diagnosis (docs/PARITY.md
+    round-5 additions) found BATCH COMPOSITION is an algorithmic input to
+    the batch-relative rank/pears losses, and exact-size batching on
+    7-size synthetic LIVE confines every batch to one reference size
+    (7 tiny remainders/epoch, within-batch q-spread down to 0.0) where
+    torch's loader (train.py:483-580) mixes all refs freely. Bucketed
+    padding makes our composition statistically identical to torch's —
+    this is the parity-faithful configuration, and the production default
+    for from-scratch variable-size training (train/config.py)."""
     import jax
     import jax.numpy as jnp
     import torch
@@ -985,13 +996,18 @@ def _multiscale_torch_sweep(root, args):
     # the report (not the tmp workdir) so resume works across invocations
     # and VM restarts — round-5: the tmp sidecar died with the workdir.
     sidecar = os.path.abspath(args.out) + ".c4sweep.jsonl"
+    # arm tag: resumed records must come from the SAME ours-arm
+    # configuration. Untagged/foreign records (e.g. the round-5 exact-size
+    # fp32 run 0 kept as history) are ignored, not reused.
+    arm_tag = "fp32_bkt1"
     done = {}
     if os.path.exists(sidecar):
         with open(sidecar) as f:
             for line in f:
                 try:
                     rec = json.loads(line)
-                    done[(rec["run"], rec["seed"])] = rec
+                    if rec.get("arm") == arm_tag:
+                        done[(rec["run"], rec["seed"])] = rec
                 except (ValueError, KeyError):
                     continue
 
@@ -1027,14 +1043,17 @@ def _multiscale_torch_sweep(root, args):
         params0 = jax.tree_util.tree_map(
             np.asarray, engine.get_model_params(cfg, None, seed=seed))
 
-        # ---- ours: fused multiscale train steps (exact-size batching —
-        # synthetic LIVE has 7 sizes, so each batch is one size and the
-        # step needs no hw padding path) ----
+        # ---- ours: fused multiscale train steps. max_size_buckets=1 pads
+        # LIVE's 7 sizes to one canonical shape (img_hw-confined sampling
+        # keeps patch placement exact) so batches mix references freely —
+        # composition statistically identical to torch's loader, which the
+        # batch-relative rank/pears losses take as an algorithmic input
+        # (collapse diagnosis, docs/PARITY.md round-5 additions) ----
         ds.splits_dict["SweepTrain"] = dataset_split(
             "SweepTrain", np.asarray(train_idx))
         loader = PatchDatasetLoader(ds, "SweepTrain", batch_size=batch,
                                     patch_count=train_pc, shuffle=True,
-                                    seed=seed)
+                                    seed=seed, max_size_buckets=1)
         mean, std = ds.get_norm_mean_std()
         optimizer, _ = make_optimizer(g, max(1, len(loader)) * epochs)
         step = make_train_step(
@@ -1061,7 +1080,8 @@ def _multiscale_torch_sweep(root, args):
                 key, sub = jax.random.split(key)
                 params, opt_state, _m, _q = step(
                     params, opt_state, mask, jnp.asarray(b.imgs_raw),
-                    jnp.asarray(b.qs), jnp.asarray(b.valid), sub, lw)
+                    jnp.asarray(b.qs), jnp.asarray(b.valid), sub, lw,
+                    img_hw=jnp.asarray(b.img_hw))
         ours_val = _our_eval_pairs(params, cfg, C, our_dataset("live"),
                                    test_idx, args, patch_count=eval_pc,
                                    num_scales=3, repeats=2)
@@ -1105,7 +1125,7 @@ def _multiscale_torch_sweep(root, args):
               f"torch={torch_all[-1]:.4f} delta={deltas[-1]:+.4f}",
               flush=True)
         with open(sidecar, "a") as f:
-            f.write(json.dumps({"run": run, "seed": seed,
+            f.write(json.dumps({"run": run, "seed": seed, "arm": arm_tag,
                                 "ours": float(ours_all[-1]),
                                 "torch": float(torch_all[-1])}) + "\n")
         _release_memory()
@@ -1121,7 +1141,9 @@ def _multiscale_torch_sweep(root, args):
     return {
         "protocol": f"{len(deltas)} paired runs x {epochs} epochs, identical "
                     f"init+splits per run, {train_pc}-patch 3-scale train, "
-                    f"{eval_pc}-patch eval x2 repeats on 6 held-out refs",
+                    f"{eval_pc}-patch eval x2 repeats on 6 held-out refs; "
+                    f"ours arm fp32 + max_size_buckets=1 (torch-matched "
+                    f"batch composition, per the collapse diagnosis)",
         "runs_completed": len(deltas),
         "runs_planned": n_runs,
         "deadline_truncated_runs": truncated,

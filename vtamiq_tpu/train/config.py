@@ -169,14 +169,16 @@ global_config = OrderedDict(
     # tiny-dataset training should use "float32" AND mixed-composition
     # batches: a bf16 stream collapses a fraction of seeds there, "mixed"
     # (fp32 residual stream, bf16 MXU matmuls) reduces but does not
-    # eliminate the risk, and fp32 LOWERS the collapse rate without zeroing
-    # it (round-5 paired sweep: seed 8 collapsed under full fp32). On
-    # variable-size datasets also set max_size_buckets>0 so batches mix
-    # references the way the reference's loader does — exact-size batching
-    # confines each batch to one size and emits tiny remainder batches —
-    # the leading suspect for the residual collapses, since rank/pears are
-    # batch-relative (round-5 collapse diagnosis, docs/PARITY.md round-5
-    # additions; test with tools/diag_collapse.py --buckets 1)
+    # eliminate the risk, and fp32 alone lowers the collapse rate without
+    # zeroing it (round-5 paired sweep: seed 8 collapsed under full fp32).
+    # On variable-size datasets ALSO set max_size_buckets>0 so batches mix
+    # references the way the reference's loader does — hardware-validated
+    # (2026-08-20): exact-size batching confines each batch to one size
+    # with tiny remainders and within-batch q-spread down to 0.0, and the
+    # rank/pears losses are batch-relative; the fp32-collapsing seed
+    # (−0.092) recovers to SROCC 0.801 under max_size_buckets=1 on
+    # identical init+splits (round-5 collapse diagnosis, docs/PARITY.md
+    # round-5 additions; tools/diag_collapse.py --buckets 1)
     compute_dtype="bfloat16",
     mesh_data=1,   # data-parallel mesh axis size (1 = single chip)
     mesh_model=1,  # tensor-parallel mesh axis size
