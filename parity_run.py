@@ -420,6 +420,25 @@ def _jackknife_se(ys_flat, yp_flat, repeats):
     return out
 
 
+def read_sweep_sidecar(sidecar, arm_tag):
+    """Load completed paired-sweep records keyed by (run, seed), keeping
+    only records whose ``arm`` matches ``arm_tag``: resumed results must
+    come from the SAME ours-arm configuration. Untagged/foreign records
+    (e.g. the round-5 exact-size fp32 run kept as history) are ignored,
+    as are malformed lines from a crash mid-append."""
+    done = {}
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                    if rec.get("arm") == arm_tag:
+                        done[(rec["run"], rec["seed"])] = rec
+                except (ValueError, KeyError):
+                    continue
+    return done
+
+
 def paired_gate_verdict(deltas, gate=0.10, tie_eps=0.02):
     """Fixed-ceiling paired dynamics gate (VERDICT r4 #5): pass iff the
     mean paired delta (ours - torch) is not below ``-gate`` AND ours wins
@@ -1000,16 +1019,7 @@ def _multiscale_torch_sweep(root, args):
     # configuration. Untagged/foreign records (e.g. the round-5 exact-size
     # fp32 run 0 kept as history) are ignored, not reused.
     arm_tag = "fp32_bkt1"
-    done = {}
-    if os.path.exists(sidecar):
-        with open(sidecar) as f:
-            for line in f:
-                try:
-                    rec = json.loads(line)
-                    if rec.get("arm") == arm_tag:
-                        done[(rec["run"], rec["seed"])] = rec
-                except (ValueError, KeyError):
-                    continue
+    done = read_sweep_sidecar(sidecar, arm_tag)
 
     deltas, ours_all, torch_all = [], [], []
     truncated = 0

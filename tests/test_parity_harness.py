@@ -262,3 +262,26 @@ class TestPairedGateVerdict:
         deltas = [-0.05, 0.02, -0.62, -0.71, 0.025]  # r4-sweep-like
         mean_d, _, ok = parity_run.paired_gate_verdict(deltas)
         assert mean_d < -0.10 and not ok
+
+
+class TestSweepSidecarResume:
+    """Round-5 arm-tagged sidecar: a resumed paired sweep must only reuse
+    records measured under the SAME ours-arm configuration."""
+
+    def test_filters_by_arm_and_skips_malformed(self, tmp_path):
+        sc = tmp_path / "report.json.c4sweep.jsonl"
+        sc.write_text(
+            # round-5 exact-size record, kept as history: no arm tag
+            '{"run": 0, "seed": 1, "ours": 0.78, "torch": 0.47}\n'
+            '{"run": 0, "seed": 1, "arm": "fp32_bkt1", "ours": 0.80, '
+            '"torch": 0.47}\n'
+            '{"run": 1, "seed": 8, "arm": "other_arm", "ours": 0.1, '
+            '"torch": 0.7}\n'
+            'not json — crash mid-append\n')
+        done = parity_run.read_sweep_sidecar(str(sc), "fp32_bkt1")
+        assert set(done) == {(0, 1)}
+        assert done[(0, 1)]["ours"] == 0.80
+
+    def test_missing_file_is_empty(self, tmp_path):
+        assert parity_run.read_sweep_sidecar(
+            str(tmp_path / "absent.jsonl"), "fp32_bkt1") == {}
