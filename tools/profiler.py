@@ -345,13 +345,19 @@ def cmd_tune5000(args):
     from vtamiq_tpu.train.steps import make_train_step
     from vtamiq_tpu.train.optim import build_freeze_mask
 
-    b, d, h = 4, 64, 12
+    # head count follows the variant (L16 is 1024-hidden/16-head; head_dim
+    # stays 64 across all three backbones — reference transformer.py
+    # get_B8/B16/L16_config)
+    b, d, h = 4, 64, (16 if args.variant == "L16" else 12)
     s = ((args.patches + 9 + 127) // 128) * 128
     kq, kk, kv = jax.random.split(jax.random.PRNGKey(SEED), 3)
     q = jax.random.normal(kq, (b, s, h, d), jnp.bfloat16)
     k = jax.random.normal(kk, (b, s, h, d), jnp.bfloat16)
     v = jax.random.normal(kv, (b, s, h, d), jnp.bfloat16)
     print(f"stage 1: attention grad, B={b} S={s} H={h} D={d} bf16", flush=True)
+    if args.skip_stage1:
+        print("stage 1 skipped (--skip-stage1): using committed bwd block "
+              "defaults", flush=True)
 
     fl = 3 * 4 * s * s * d * h * b  # fwd+bwd ~ 3x fwd attention flops
     best = (None, float("inf"))
@@ -362,6 +368,8 @@ def cmd_tune5000(args):
     # remote-compile days (CLAUDE.md round-3 gotchas).
     pairs = [(512, 1024, True), (512, 512, True), (1024, 512, True),
              (1024, 1024, True), (256, 1024, True), (1024, 1024, False)]
+    if args.skip_stage1:
+        pairs = []
     for bq, bk, fused in pairs:
         if s % bq or s % bk:
             continue
@@ -404,13 +412,17 @@ def cmd_tune5000(args):
             print(f"bwd-{tag}-bq{bq}-bk{bk}: FAILED {type(e).__name__}: {e}",
                   flush=True)
     if best[0] is None:
-        print("stage 1 produced no plausible readings; aborting", flush=True)
-        return
-    print(f"best bwd blocks: {best[0]} ({best[1] * 1e3:.1f} ms)", flush=True)
-    attn_mod.DEFAULT_BWD_BLOCK_Q, attn_mod.DEFAULT_BWD_BLOCK_K = best[0]
+        if not args.skip_stage1:
+            print("stage 1 produced no plausible readings; aborting",
+                  flush=True)
+            return
+    else:
+        print(f"best bwd blocks: {best[0]} ({best[1] * 1e3:.1f} ms)",
+              flush=True)
+        attn_mod.DEFAULT_BWD_BLOCK_Q, attn_mod.DEFAULT_BWD_BLOCK_K = best[0]
 
-    print(f"stage 2: fused train step at {args.patches}p, batch x remat",
-          flush=True)
+    print(f"stage 2: fused {args.variant} train step at {args.patches}p, "
+          f"batch x remat", flush=True)
     ecfg = ExtractConfig(patch_count=args.patches, patch_dim=16,
                          norm_mean=(0.5 + SALT, 0.5, 0.5))
     sampler = PatchSampler()
@@ -421,9 +433,13 @@ def cmd_tune5000(args):
     # activation storage may now beat recompute), and the batch neighbors
     # round-4 grid: no-remat won at batch 4 (round 3), so probe batch 8
     # both ways — the VERDICT-r03 lever is batch 4->8 if HBM allows
-    for batch, remat in ((4, False), (8, False), (8, True), (4, True)):
+    grid = ((4, False), (8, False), (8, True), (4, True))
+    if args.grid:  # e.g. --grid 4:0,8:1 -> [(4, False), (8, True)]
+        grid = tuple((int(b), bool(int(r)))
+                     for b, r in (leg.split(":") for leg in args.grid.split(",")))
+    for batch, remat in grid:
         cfg = VTAMIQConfig(vit=dataclasses.replace(
-            get_vit_config(num_keep_layers=args.layers,
+            get_vit_config(args.variant, num_keep_layers=args.layers,
                            num_extra_tokens=8), remat=remat))
         try:
             params = init_vtamiq_params(jax.random.PRNGKey(0), cfg)
@@ -533,6 +549,16 @@ def main():
                    help="attention: sweep flash block sizes")
     p.add_argument("--ab-backward", action="store_true",
                    help="train: A/B pallas vs recompute flash backward")
+    p.add_argument("--grid", default="",
+                   help="tune5000: override the stage-2 batch x remat grid "
+                        "as comma-separated batch:remat legs, e.g. "
+                        "'4:0,8:1,8:0' (remat 0/1); default is the built-in "
+                        "4-leg grid")
+    p.add_argument("--skip-stage1", action="store_true",
+                   help="tune5000: skip the bwd-block sweep and go straight "
+                        "to the batch x remat train grid with the committed "
+                        "block defaults (stage 1 is head_dim-bound and the "
+                        "defaults were tuned at d=64, shared by all variants)")
     args = p.parse_args()
     if args.patches is None:
         args.patches = 5000 if args.cmd == "tune5000" else 500
