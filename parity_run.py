@@ -775,8 +775,36 @@ def _train_dynamics_anchor(C, args, workdir, have_ref):
 
     ours_sroccs, torch_sroccs = [], []
     t_ours = t_torch = 0.0
+    # Sidecar resume + deadline (round-5, mirrors the config-4 sweep): the
+    # paired seed loop costs ~13 min/seed on this 1-core host and previously
+    # had no crash/deadline protection — a cut session lost every completed
+    # seed. Records are arm-tagged so resumed results come from the SAME
+    # ours-arm configuration (fp32 compute at 256p — see train_ours).
+    sidecar = os.path.abspath(args.out) + ".c3dyn.jsonl"
+    arm_tag = "fp32_256p"
+    done = read_sweep_sidecar(sidecar, arm_tag) if have_ref else {}
+    deadline = float(getattr(args, "sweep_deadline_ts", 0) or 0)
+    truncated = 0
     for s in range(n_seeds):
         seed = args.seed + 101 * s
+        prior_rec = done.get((s, seed))
+        if prior_rec is not None:
+            ours_sroccs.append(prior_rec["ours"])
+            torch_sroccs.append(prior_rec["torch"])
+            print(f"dynamics seed {seed}: resumed from sidecar "
+                  f"(ours={prior_rec['ours']:.4f} "
+                  f"torch={prior_rec['torch']:.4f})", flush=True)
+            continue
+        if (deadline and time.time() > deadline and have_ref
+                and len(ours_sroccs) >= 2):
+            # no NEW paired seed starts past the deadline (chip must be
+            # idle before the driver's bench); completed seeds gate as-is
+            # and the persistent sidecar extends n on a later rerun.
+            truncated = n_seeds - s
+            print(f"dynamics: deadline reached before seed {seed}; gating "
+                  f"on the {len(ours_sroccs)} completed paired seeds",
+                  flush=True)
+            break
         # host-side numpy copy: the fused train step DONATES its params, and
         # on TPU jnp.asarray aliases the original buffers — params0 must
         # survive for the torch side (first run died here: "Array has been
@@ -790,6 +818,10 @@ def _train_dynamics_anchor(C, args, workdir, have_ref):
             v, dt = train_torch(seed, params0)
             torch_sroccs.append(v)
             t_torch += dt
+            with open(sidecar, "a") as f:
+                f.write(json.dumps({"run": s, "seed": seed, "arm": arm_tag,
+                                    "ours": float(ours_sroccs[-1]),
+                                    "torch": float(v)}) + "\n")
         print(f"dynamics seed {seed}: ours={ours_sroccs[-1]:.4f}"
               + (f" torch={torch_sroccs[-1]:.4f}" if have_ref else ""),
               flush=True)
@@ -797,7 +829,9 @@ def _train_dynamics_anchor(C, args, workdir, have_ref):
     out = {
         "train_refs": train_refs, "val_refs": val_refs,
         "train_pairs": len(train_idx), "val_pairs": len(val_idx),
-        "patch_count": patch_count, "seeds": n_seeds,
+        "patch_count": patch_count, "seeds": len(ours_sroccs),
+        "seeds_planned": n_seeds,
+        "deadline_truncated_seeds": truncated,
         "ours": {"val_SROCC_per_seed": ours_sroccs,
                  "val_SROCC_mean": float(np.mean(ours_sroccs)),
                  "val_SROCC_std": float(np.std(ours_sroccs, ddof=1))
