@@ -129,6 +129,13 @@ def parse_args(argv=None):
                         "loop is seed-deterministic and unchanged) and run "
                         "only the identical-weights anchor + torch_sweep "
                         "legs; the reused block is labeled sweep_reused_from")
+    p.add_argument("--reuse-anchor-c3", action="store_true",
+                   help="config 3: carry the engine-train + identical-"
+                        "weights anchor legs verbatim from the .partial "
+                        "report (deterministic same-code legs that already "
+                        "passed) and run only the training-dynamics leg — "
+                        "spends a bounded window on new paired seeds; the "
+                        "reused block is labeled anchor_reused_from")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -870,7 +877,26 @@ def _train_dynamics_anchor(C, args, workdir, have_ref):
     return out
 
 
-def run_config3(root, args, workdir, kinds, have_ref):
+def run_config3(root, args, workdir, kinds, have_ref, prior=None):
+    if (getattr(args, "reuse_anchor_c3", False) and isinstance(prior, dict)
+            and "identical_weights_val_eval" in prior
+            and prior.get("identical_weights_val_eval", {}).get("pass")):
+        # Resume semantics (mirrors --reuse-sweep): the engine-train +
+        # identical-weights anchor legs are deterministic same-code legs
+        # that already passed in the prior report; carry them verbatim and
+        # spend the whole bounded window on NEW paired dynamics seeds.
+        out = {k: v for k, v in prior.items()
+               if k not in ("training_dynamics", "pass")}
+        out["anchor_reused_from"] = prior.get("generated_at") or "prior .partial"
+        C3 = fresh_configs()
+        point_frameworks_at(root)
+        dynamics = _train_dynamics_anchor(C3, args, workdir, have_ref)
+        out["training_dynamics"] = dynamics
+        srocc = out.get("val_SROCC_after_1_epoch", float("nan"))
+        out["pass"] = bool(np.isfinite(srocc) and srocc > 0.3
+                           and out["identical_weights_val_eval"]["pass"]
+                           and dynamics["pass"])
+        return out
     C = fresh_configs()
     from vtamiq_tpu.train import engine
     from vtamiq_tpu.ops.sampling import GRID_TYPE_PERTURBED, DIFF_TYPE_MAGNITUDE
@@ -1428,7 +1454,8 @@ def run_config5(root, args, workdir, kinds, have_ref):
 # main
 # --------------------------------------------------------------------------
 
-def carry_prior_configs(report, prior, wanted, reuse_sweep=False):
+def carry_prior_configs(report, prior, wanted, reuse_sweep=False,
+                        reuse_anchor_c3=False):
     """Seed ``report`` from a crashed run's .partial (same mode only):
     completed configs NOT being rerun carry over verbatim, and a wanted
     config that only holds a resumable mid-sweep ``{"partial_runs": [...]}``
@@ -1444,6 +1471,9 @@ def carry_prior_configs(report, prior, wanted, reuse_sweep=False):
         if not carry and k == "4" and reuse_sweep and isinstance(v, dict) \
                 and v.get("stats"):
             carry = True  # run_config4 reuses its stats, reruns the rest
+        if not carry and k == "3" and reuse_anchor_c3 and isinstance(v, dict) \
+                and v.get("identical_weights_val_eval", {}).get("pass"):
+            carry = True  # run_config3 reuses its anchors, reruns dynamics
         if carry:
             report["configs"][k] = v
     report["resumed_from_partial"] = prior.get("generated_at")
@@ -1473,8 +1503,10 @@ def main(argv=None):
     if args.resume_partial and os.path.isfile(args.out + ".partial"):
         with open(args.out + ".partial") as f:
             prior = json.load(f)
-        carry_prior_configs(report, prior, wanted,
-                            reuse_sweep=getattr(args, "reuse_sweep", False))
+        carry_prior_configs(
+            report, prior, wanted,
+            reuse_sweep=getattr(args, "reuse_sweep", False),
+            reuse_anchor_c3=getattr(args, "reuse_anchor_c3", False))
 
     def checkpoint_report():
         """Incremental dump: a late-config crash must not lose earlier
@@ -1501,8 +1533,10 @@ def main(argv=None):
                 checkpoint_report()
         if 3 in wanted:
             point_frameworks_at(args.root)
-            report["configs"]["3"] = run_config3(args.root, args, workdir,
-                                                 kinds, have_ref)
+            prior3 = report["configs"].get("3")
+            report["configs"]["3"] = run_config3(
+                args.root, args, workdir, kinds, have_ref,
+                prior=prior3 if isinstance(prior3, dict) else None)
             checkpoint_report()
             _release_memory()
         if 4 in wanted:

@@ -45,6 +45,26 @@ class TestCarryPriorConfigs:
         parity_run.carry_prior_configs(report, prior, wanted=[4])
         assert report["configs"]["4"]["partial_runs"] == runs
 
+    def test_reuse_anchor_c3_carries_passing_anchor(self):
+        # round-5: --reuse-anchor-c3 lets a dynamics-only rerun spend its
+        # whole deadline window on new paired seeds
+        report = self._report()
+        prior = {"mode": "full", "configs": {"3": {
+            "pass": True, "val_SROCC_after_1_epoch": 0.8,
+            "identical_weights_val_eval": {"pass": True}}}}
+        parity_run.carry_prior_configs(report, prior, wanted=[3],
+                                       reuse_anchor_c3=True)
+        assert "3" in report["configs"]
+
+    def test_reuse_anchor_c3_requires_passing_anchor(self):
+        report = self._report()
+        prior = {"mode": "full", "configs": {"3": {
+            "pass": False, "val_SROCC_after_1_epoch": 0.8,
+            "identical_weights_val_eval": {"pass": False}}}}
+        parity_run.carry_prior_configs(report, prior, wanted=[3],
+                                       reuse_anchor_c3=True)
+        assert "3" not in report["configs"]
+
     def test_mode_mismatch_carries_nothing(self):
         report = self._report()
         prior = {"mode": "quick", "configs": {"1": {"pass": True}}}
